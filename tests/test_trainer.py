@@ -1,0 +1,82 @@
+"""Trainer smoke tests: loop, validation, checkpoint save/restore parity."""
+
+import numpy as np
+import pytest
+
+from vln_bevbert_tpu.configs import ModelConfig, OptimConfig, PretrainConfig, ShapeConfig
+from vln_bevbert_tpu.data.feature_db import H5FeatureDB, write_synthetic_features
+from vln_bevbert_tpu.data.loader import PretrainLoader, make_synthetic_annotations
+from vln_bevbert_tpu.data.nav_graph import build_scanvp_cands, write_synthetic_connectivity, load_nav_graphs
+from vln_bevbert_tpu.data.pathdata import TextPathData
+from vln_bevbert_tpu.pretrain import PretrainTrainer
+
+TINY = ModelConfig(
+    vocab_size=30522, hidden_size=32, num_attention_heads=2, intermediate_size=64,
+    num_l_layers=1, num_pano_layers=1, num_x_layers=1, image_feat_size=16,
+    obj_feat_size=0, bev_grid_feat_size=12, bev_dim=5, dtype="float32",
+)
+SHAPES = ShapeConfig(
+    max_txt_len=32, max_steps=6, max_pano_len=40, max_gmap_len=20,
+    max_local_len=8, max_objects=0, num_views=2, grid_hw=4, max_masked_tokens=6,
+)
+
+
+@pytest.fixture(scope="module")
+def loaders(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainer_world")
+    rng = np.random.default_rng(0)
+    write_synthetic_connectivity(str(root / "conn"), rng, n_scans=1, n_nodes=8)
+    graphs = load_nav_graphs(str(root / "conn"))
+    cands = build_scanvp_cands(graphs)
+    paths = write_synthetic_features(
+        str(root / "fts"), rng,
+        {s: g.node_ids for s, g in graphs.items()},
+        image_feat_size=TINY.image_feat_size,
+        grid_feat_size=TINY.bev_grid_feat_size,
+        grid_hw=SHAPES.grid_hw, num_views=SHAPES.num_views,
+    )
+    annos = make_synthetic_annotations(graphs, rng, n_items=8, min_len=2, max_len=5)
+    nav_db = TextPathData(
+        annos, graphs, cands,
+        view_db=H5FeatureDB(paths["img_ft"]),
+        grid_db=H5FeatureDB(paths["rgb"]),
+        depth_db=H5FeatureDB(paths["depth"]),
+        sem_db=H5FeatureDB(paths["sem"]),
+        image_feat_size=TINY.image_feat_size,
+        max_txt_len=SHAPES.max_txt_len,
+        bev_dim=TINY.bev_dim, bev_res=1.0, num_views=SHAPES.num_views,
+    )
+    cfg = PretrainConfig(
+        model=TINY, shapes=SHAPES,
+        optim=OptimConfig(warmup_steps=2, num_train_steps=6, learning_rate=1e-4),
+        tasks=("mlm", "sap"), mix_ratio=(1, 1), train_batch_size=2,
+        valid_steps=0, log_steps=3,
+    )
+    train_loader = PretrainLoader(nav_db, cfg, prefetch=0)
+    val_loader = PretrainLoader(nav_db, cfg, seed=1, prefetch=0)
+    return cfg, train_loader, val_loader
+
+
+def test_train_validate_checkpoint_roundtrip(loaders, tmp_path):
+    cfg, train_loader, val_loader = loaders
+    trainer = PretrainTrainer(
+        cfg, train_loader, {"val": val_loader}, output_dir=str(tmp_path / "run")
+    )
+    state = trainer.train(num_steps=4)
+    assert int(state.step) == 4
+    results = trainer.validate(step=4, num_batches=1)
+    assert any(k.startswith("val/mlm") for k in results)
+    assert all(np.isfinite(v) for v in results.values())
+
+    path = trainer.save(4)
+    import jax
+
+    before = jax.tree.map(np.asarray, trainer.state.params)
+    trainer.train(num_steps=6)  # mutate params
+    trainer.restore(path)
+    after = jax.tree.map(np.asarray, trainer.state.params)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert int(trainer.state.step) == 4
+    # metrics file written
+    assert (tmp_path / "run" / "metrics.jsonl").exists()

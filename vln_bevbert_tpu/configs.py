@@ -103,6 +103,8 @@ class ShapeConfig:
     max_objects: int = 20          # REVERIE max_objects
     num_views: int = 12            # BEV source cameras (single elevation ring)
     grid_hw: int = 14              # 14x14 feature grid per view
+    max_masked_tokens: int = 48    # MLM: fixed count of gathered positions
+    max_pc_steps: int = 8          # nav: point-cloud gathers per BEV splat
 
     @property
     def num_points(self) -> int:

@@ -1,0 +1,120 @@
+"""Per-viewpoint feature stores.
+
+- ``H5FeatureDB``     : HDF5-backed keyed store with an in-memory LRU —
+                        the reference's ImageFeaturesDB / get_scanvp_feature
+                        (/root/reference/map_nav_src/utils/data.py:9-29,
+                        pretrain_src/data/dataset.py:87-118) kept one open
+                        handle per read; we hold the file open and memoise.
+- ``DictFeatureDB``   : in-memory store for tests / synthetic data.
+- ``write_synthetic_features`` : fabricate the four HDF5 products of the
+                        offline pipeline (36-view pooled features, 14x14 CLIP
+                        grids, depth, semantics) for a set of scans.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+class DictFeatureDB:
+    def __init__(self, data: Optional[Dict[str, np.ndarray]] = None):
+        self.data = data or {}
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        return self.data[f"{scan}_{viewpoint}"]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.data
+
+
+class H5FeatureDB:
+    """HDF5 store keyed '<scan>_<viewpoint>' with an LRU cache.
+
+    ``max_cache`` bounds host memory; None = unbounded (the reference's
+    in_memory=True behaviour)."""
+
+    def __init__(self, path: str, dtype=np.float32, max_cache: Optional[int] = None):
+        if h5py is None:
+            raise RuntimeError("h5py unavailable")
+        self.path = path
+        self.dtype = dtype
+        self.max_cache = max_cache
+        self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._file = None
+
+    def _handle(self):
+        if self._file is None:
+            self._file = h5py.File(self.path, "r")
+        return self._file
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        key = f"{scan}_{viewpoint}"
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            return hit
+        arr = self._handle()[key][...].astype(self.dtype)
+        self._cache[key] = arr
+        if self.max_cache is not None and len(self._cache) > self.max_cache:
+            self._cache.popitem(last=False)
+        return arr
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._handle()
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+def write_synthetic_features(
+    directory: str,
+    rng: np.random.Generator,
+    scan_viewpoints: Dict[str, Iterable[str]],
+    image_feat_size: int = 512,
+    grid_feat_size: int = 768,
+    grid_hw: int = 14,
+    num_views: int = 12,
+    num_sem: int = 40,
+) -> Dict[str, str]:
+    """Create the HDF5 files the pretrain pipeline consumes
+    (configs/r2r_pretrain.json:39-43 file roles). Depth stored as metres/10,
+    matching the reference's scaling (pretrain_cmt.py:125)."""
+    os.makedirs(directory, exist_ok=True)
+    paths = {
+        "img_ft": os.path.join(directory, "view_fts.hdf5"),
+        "rgb": os.path.join(directory, "grid_fts.hdf5"),
+        "depth": os.path.join(directory, "depth.hdf5"),
+        "sem": os.path.join(directory, "sem.hdf5"),
+    }
+    files = {k: h5py.File(p, "w") for k, p in paths.items()}
+    try:
+        for scan, vps in scan_viewpoints.items():
+            for vp in vps:
+                key = f"{scan}_{vp}"
+                files["img_ft"][key] = rng.normal(
+                    size=(36, image_feat_size)
+                ).astype(np.float32)
+                files["rgb"][key] = rng.normal(
+                    size=(num_views, grid_hw * grid_hw, grid_feat_size)
+                ).astype(np.float16)
+                files["depth"][key] = rng.uniform(
+                    0.02, 0.9, (num_views, grid_hw, grid_hw)
+                ).astype(np.float16)
+                files["sem"][key] = rng.integers(
+                    0, num_sem, (num_views, grid_hw, grid_hw)
+                ).astype(np.uint8)
+    finally:
+        for f in files.values():
+            f.close()
+    return paths

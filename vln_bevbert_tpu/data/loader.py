@@ -1,0 +1,165 @@
+"""Multi-task pretrain loading.
+
+- ``MetaLoader``: samples which proxy task each step trains, from a
+  *deterministic shared PRNG schedule* — every data-parallel host derives the
+  same task for step t from (seed, t), replacing the reference's
+  ``dist.broadcast(task_id, 0)`` synchronisation
+  (/root/reference/pretrain_src/data/loader.py:54-59) with no collective.
+- ``PretrainLoader``: per-task example sampling (end-viewpoint type ratios as
+  in train_r2r.py:45-57) + static-shape batch assembly, with an optional
+  background thread double-buffering host batch construction against device
+  compute (the reference's PrefetchLoader role, loader.py:62-124).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..configs import ModelConfig, PretrainConfig, ShapeConfig
+from .batching import make_pretrain_batch
+from .pathdata import TextPathData
+
+# (pos_ratio, mid_ratio): end-vp is 'pos' w.p. pos_ratio, else 'neg_in_gt_path'
+# up to mid_ratio, else 'neg_others' (ref SapDataset.__getitem__ tasks.py:318-326
+# and the per-task ratios at train_r2r.py:45-57)
+END_VP_POLICY = {
+    "mlm": (0.75, 1.0),
+    "mrc": (1.0, 1.0),
+    "sap": (0.2, 0.6),
+    "og": (1.0, 1.0),
+    "sem": (0.2, 1.0),
+    "masksem": (0.2, 1.0),
+}
+
+
+def sample_end_vp_type(task: str, rng: np.random.Generator) -> str:
+    pos_ratio, mid_ratio = END_VP_POLICY[task.split("_")[0]]
+    r = rng.uniform()
+    if r < pos_ratio:
+        return "pos"
+    if r < mid_ratio:
+        return "neg_in_gt_path"
+    return "neg_others"
+
+
+class MetaLoader:
+    """Deterministic task schedule: task(step) = choice(tasks, p=mix) with a
+    PRNG keyed by (seed, step)."""
+
+    def __init__(self, tasks: Sequence[str], mix_ratio: Sequence[float], seed: int = 0):
+        assert len(tasks) == len(mix_ratio)
+        self.tasks = list(tasks)
+        p = np.asarray(mix_ratio, np.float64)
+        self.p = p / p.sum()
+        self.seed = seed
+
+    def task_for_step(self, step: int) -> str:
+        rng = np.random.default_rng((self.seed, step))
+        return self.tasks[int(rng.choice(len(self.tasks), p=self.p))]
+
+
+class PretrainLoader:
+    """Yields (task, static batch) tuples."""
+
+    def __init__(
+        self,
+        nav_db: TextPathData,
+        cfg: PretrainConfig,
+        seed: int = 0,
+        rank: int = 0,
+        prefetch: int = 2,
+    ):
+        self.nav_db = nav_db
+        self.cfg = cfg
+        self.meta = MetaLoader(cfg.tasks, cfg.mix_ratio, seed)
+        self.rng = np.random.default_rng((seed, rank, 17))
+        self.prefetch = prefetch
+
+    def build_batch(
+        self, step: int, task: Optional[str] = None
+    ) -> Tuple[str, Dict[str, np.ndarray]]:
+        if task is None:
+            task = self.meta.task_for_step(step)
+        base = task.split("_")[0]
+        idxs = self.rng.integers(0, len(self.nav_db), self.cfg.train_batch_size)
+        examples = [
+            self.nav_db.get_input(
+                int(i),
+                sample_end_vp_type(task, self.rng),
+                self.rng,
+                return_act_label=base in ("sap", "sem", "masksem"),
+                return_obj_label=base == "og",
+                return_obj_probs=base == "mrc",
+            )
+            for i in idxs
+        ]
+        batch = make_pretrain_batch(
+            examples, base, self.cfg.shapes, self.cfg.model, self.rng,
+            mlm_prob=self.cfg.mlm_prob,
+            bev_mrc_mask_prob=self.cfg.bev_mrc_mask_prob,
+            obj_mrc_mask_prob=self.cfg.mrc_mask_prob,
+        )
+        return task, batch
+
+    def __iter__(self) -> Iterator[Tuple[str, Dict[str, np.ndarray]]]:
+        if self.prefetch <= 0:
+            step = 0
+            while True:
+                yield self.build_batch(step)
+                step += 1
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            step = 0
+            while not stop.is_set():
+                try:
+                    q.put(self.build_batch(step), timeout=1.0)
+                    step += 1
+                except queue.Full:
+                    continue
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+
+def make_synthetic_annotations(
+    graphs, rng: np.random.Generator, n_items: int = 32,
+    min_len: int = 3, max_len: int = 7, txt_len=(10, 40),
+    vocab_range=(1996, 29611),
+) -> list:
+    """Random R2R-style annotation items over synthetic scans: a shortest
+    path between two random nodes + a random 'instruction' encoding."""
+    items = []
+    scans = list(graphs)
+    for i in range(n_items):
+        scan = scans[int(rng.integers(len(scans)))]
+        g = graphs[scan]
+        for _ in range(20):
+            a, b = rng.choice(len(g), 2, replace=False)
+            path = g.path(g.node_ids[a], g.node_ids[b])
+            if min_len <= len(path) <= max_len:
+                break
+        enc = [101] + list(
+            rng.integers(vocab_range[0], vocab_range[1], int(rng.integers(*txt_len)))
+        ) + [102]
+        items.append(
+            {
+                "instr_id": f"synt_{i}",
+                "scan": scan,
+                "path": path,
+                "heading": float(rng.uniform(0, 2 * np.pi)),
+                "instr_encoding": enc,
+            }
+        )
+    return items

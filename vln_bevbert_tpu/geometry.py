@@ -211,3 +211,22 @@ def world_to_ego_cand_cells(
     cells = np.round(ego[:, [0, 2]] / bev_res) + (bev_dim - 1) // 2
     cells = np.clip(cells, 0, bev_dim - 1).astype(np.int64)
     return cells[:, 1] * bev_dim + cells[:, 0]
+
+
+def world_to_ego_cells_stop_centre(
+    cand_positions: np.ndarray,
+    centre_xyz: np.ndarray,
+    heading: float,
+    bev_dim: int,
+    bev_res: float,
+) -> np.ndarray:
+    """Candidate cells with the [stop] cell (grid centre) prepended at index 0
+    (ref dataset.py:437-438)."""
+    if len(cand_positions):
+        cells = world_to_ego_cand_cells(
+            cand_positions, centre_xyz, heading, bev_dim, bev_res
+        )
+    else:
+        cells = np.zeros((0,), np.int64)
+    centre = (bev_dim * bev_dim - 1) // 2
+    return np.concatenate([[centre], cells]).astype(np.int64)

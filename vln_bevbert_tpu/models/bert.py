@@ -1,0 +1,258 @@
+"""BERT-family building blocks (flax.linen).
+
+Functional re-design of the reference's torch modules
+(/root/reference/pretrain_src/model/vilmodel.py:48-421 and the pre-norm pano
+encoder in pretrain_src/model/transformer.py):
+
+- post-norm BERT layers for the language / cross-modal stacks,
+- pre-norm encoder layers for the panorama encoder,
+- one attention primitive covering self- and cross-attention with an
+  additive bias (mask and/or the global-map distance bias), scores in f32.
+
+Activations default to bfloat16 with float32 parameters; attention softmax
+and layer-norm statistics are computed in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..configs import ModelConfig
+
+
+def _dt(cfg: ModelConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def _pdt(cfg: ModelConfig):
+    return jnp.dtype(cfg.param_dtype)
+
+
+def dense(cfg: ModelConfig, features: int, name: Optional[str] = None) -> nn.Dense:
+    return nn.Dense(
+        features,
+        dtype=_dt(cfg),
+        param_dtype=_pdt(cfg),
+        kernel_init=nn.initializers.normal(cfg.initializer_range),
+        name=name,
+    )
+
+
+def layer_norm(cfg: ModelConfig, name: Optional[str] = None) -> nn.LayerNorm:
+    # stats in f32 regardless of activation dtype
+    return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                        param_dtype=_pdt(cfg), name=name)
+
+
+def embed(cfg: ModelConfig, num: int, name: Optional[str] = None) -> nn.Embed:
+    return nn.Embed(
+        num, cfg.hidden_size, dtype=_dt(cfg), param_dtype=_pdt(cfg),
+        embedding_init=nn.initializers.normal(cfg.initializer_range), name=name,
+    )
+
+
+class Attention(nn.Module):
+    """Multi-head attention with additive bias; covers BertSelfAttention
+    (vilmodel.py:79-141) and BertOutAttention/cross (vilmodel.py:301-352)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, bias=None, *, deterministic: bool = True):
+        cfg = self.cfg
+        h, d = cfg.num_attention_heads, cfg.head_dim
+
+        def proj(x, name):
+            y = dense(cfg, cfg.hidden_size, name=name)(x)
+            return y.reshape(*y.shape[:-1], h, d)
+
+        q = proj(q_in, "query")
+        k = proj(kv_in, "key")
+        v = proj(kv_in, "value")
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(d))
+        if bias is not None:
+            scores = scores + bias.astype(jnp.float32)
+        probs = nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic
+        )
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(_dt(cfg)), v,
+                         preferred_element_type=jnp.float32).astype(_dt(cfg))
+        return ctx.reshape(*ctx.shape[:-2], h * d)
+
+
+class AttentionBlock(nn.Module):
+    """Attention + output projection + residual layer-norm
+    (BertAttention / BertXAttention, vilmodel.py:156-166,354-363)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, bias=None, *, deterministic: bool = True):
+        cfg = self.cfg
+        ctx = Attention(cfg, name="att")(q_in, kv_in, bias, deterministic=deterministic)
+        out = dense(cfg, cfg.hidden_size, name="out_dense")(ctx)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = layer_norm(cfg, name="out_ln")(out + q_in).astype(_dt(cfg))
+        return out
+
+
+class Ffn(nn.Module):
+    """Intermediate + output FFN with residual layer-norm
+    (BertIntermediate/BertOutput, vilmodel.py:168-193)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cfg = self.cfg
+        y = dense(cfg, cfg.intermediate_size, name="inter")(x)
+        y = nn.gelu(y, approximate=False)
+        y = dense(cfg, cfg.hidden_size, name="out_dense")(y)
+        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        return layer_norm(cfg, name="out_ln")(y + x).astype(_dt(cfg))
+
+
+class BertLayer(nn.Module):
+    """Post-norm self-attention transformer layer (vilmodel.py:195-208)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, bias=None, *, deterministic: bool = True):
+        x = AttentionBlock(self.cfg, name="attn")(x, x, bias, deterministic=deterministic)
+        return Ffn(self.cfg, name="ffn")(x, deterministic=deterministic)
+
+
+class BertXLayer(nn.Module):
+    """Cross-modal layer (GraphLXRTXLayer, vilmodel.py:365-421).
+
+    ``__call__``      : visual stream cross-attends to language, then
+                        self-attends (optionally with the distance bias added
+                        to the self-attention mask), then FFN.
+    ``lang2visn``     : language stream cross-attends to the visual stream
+                        (used by the MLM forward).
+    ``visn2visn``     : self-attention only (SEM 'sattn' mode).
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.cross = AttentionBlock(cfg, name="cross")
+        self.self_attn = AttentionBlock(cfg, name="self_attn")
+        self.ffn = Ffn(cfg, name="ffn")
+        if cfg.use_lang2visn_attn:
+            self.lang_self_attn = AttentionBlock(cfg, name="lang_self_attn")
+            self.lang_ffn = Ffn(cfg, name="lang_ffn")
+
+    def __call__(self, visn, lang, lang_bias, visn_bias, sprel_bias=None,
+                 *, deterministic: bool = True):
+        x = self.cross(visn, lang, lang_bias, deterministic=deterministic)
+        bias = visn_bias if sprel_bias is None else visn_bias + sprel_bias
+        x = self.self_attn(x, x, bias, deterministic=deterministic)
+        return self.ffn(x, deterministic=deterministic)
+
+    def lang2visn(self, lang, visn, visn_bias, lang_bias, *, deterministic: bool = True):
+        x = self.cross(lang, visn, visn_bias, deterministic=deterministic)
+        x = self.lang_self_attn(x, x, lang_bias, deterministic=deterministic)
+        return self.lang_ffn(x, deterministic=deterministic)
+
+    def visn2visn(self, visn, visn_bias, *, deterministic: bool = True):
+        x = self.self_attn(visn, visn, visn_bias, deterministic=deterministic)
+        return self.ffn(x, deterministic=deterministic)
+
+
+class BertEmbeddings(nn.Module):
+    """Word + position + token-type embeddings (vilmodel.py:48-77)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.word_embeddings = embed(cfg, cfg.vocab_size, name="word_embeddings")
+        self.position_embeddings = embed(
+            cfg, cfg.max_position_embeddings, name="position_embeddings"
+        )
+        self.token_type_embeddings = embed(
+            cfg, cfg.type_vocab_size, name="token_type_embeddings"
+        )
+        self.ln = layer_norm(cfg, name="ln")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, input_ids, token_type_ids=None, *, deterministic: bool = True):
+        seq = input_ids.shape[-1]
+        pos = jnp.arange(seq)[None, :]
+        x = self.word_embeddings(input_ids) + self.position_embeddings(pos)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        x = x + self.token_type_embeddings(token_type_ids)
+        x = self.ln(x).astype(_dt(self.cfg))
+        return self.dropout(x, deterministic=deterministic)
+
+
+class PanoEncoderLayer(nn.Module):
+    """Pre-norm transformer encoder layer for the panorama encoder
+    (ref pretrain_src/model/transformer.py TransformerEncoderLayer with
+    normalize_before=True)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, bias=None, *, deterministic: bool = True):
+        cfg = self.cfg
+        y = layer_norm(cfg, name="ln1")(x).astype(_dt(cfg))
+        y = Attention(cfg, name="att")(y, y, bias, deterministic=deterministic)
+        y = dense(cfg, cfg.hidden_size, name="att_out")(y)
+        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        x = x + y
+        y = layer_norm(cfg, name="ln2")(x).astype(_dt(cfg))
+        y = dense(cfg, cfg.intermediate_size, name="inter")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        y = dense(cfg, cfg.hidden_size, name="out_dense")(y)
+        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        return x + y
+
+
+class MlmHead(nn.Module):
+    """Masked-LM head: transform + decoder tied to the word embeddings
+    (BertLMPredictionHead, vilmodel.py:274-290). ``tied_embedding`` is the
+    (vocab, hidden) word-embedding table."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, tied_embedding):
+        cfg = self.cfg
+        x = dense(cfg, cfg.hidden_size, name="transform")(hidden)
+        x = nn.gelu(x, approximate=False)
+        x = layer_norm(cfg, name="transform_ln")(x).astype(_dt(cfg))
+        logits = jnp.einsum(
+            "...d,vd->...v", x, tied_embedding.astype(_dt(cfg)),
+            preferred_element_type=jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (cfg.vocab_size,), _pdt(cfg))
+        return logits + bias
+
+
+class TwoLayerHead(nn.Module):
+    """Linear-ReLU-LN-Linear prediction head (ClsPrediction /
+    RegionClassification / MulClsPrediction, pretrain_cmt.py:34-71)."""
+
+    cfg: ModelConfig
+    out_dim: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        y = dense(cfg, cfg.hidden_size, name="fc1")(x)
+        y = nn.relu(y)
+        y = layer_norm(cfg, name="ln")(y).astype(_dt(cfg))
+        return dense(cfg, self.out_dim, name="fc2")(y).astype(jnp.float32)

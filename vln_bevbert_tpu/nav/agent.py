@@ -1,0 +1,845 @@
+"""DAgger navigation agent for discrete environments.
+
+Re-design of /root/reference/map_nav_src/r2r/agent.py (GMapNavAgent) around
+the TPU's compilation model as **rollout-then-replay**:
+
+1. *Rollout* (inference): per-step jitted forwards drive the policy; the host
+   maintains GraphMaps, lifts/splats point clouds (device), and records every
+   step's static-shape inputs.
+2. *Replay* (training): ONE compiled program — pano encoding for all steps at
+   once, then a ``lax.scan`` over steps rebuilding each step's global-map node
+   embeddings from host-recorded aggregation matrices — reproduces the
+   reference's single-backward-per-episode gradient (agent_base.py:212-214),
+   including gradient flow from later navigation steps back through earlier
+   panorama encodings via the topological-map memory. BEV features carry no
+   gradient in the reference (project_bev is @torch.no_grad, raw CLIP inputs;
+   bev_utils.py:381) so they are splatted once during rollout and replayed as
+   constants.
+
+The reference's per-sample fused-logit loop and node-embedding dict loops
+become the same host-built ``fuse_map`` / aggregation matrices used in
+pretraining.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import FinetuneConfig
+from ..geometry import (
+    bev_polar_pos,
+    se3_from_xyzhe,
+    world_to_ego_cells_stop_centre,
+)
+from ..models import GlocalTextPathNavCMT
+from ..ops.bev import BevProjector
+from .env import R2RNavBatch
+from .eval_utils import compute_dtw_metrics
+from .graph_map import GraphMap
+
+IGNORE_ID = -100
+
+
+@dataclass
+class StepRecord:
+    """Everything the replay pass needs for one rollout step."""
+
+    active: np.ndarray                 # (B,) bool
+    view_fts: np.ndarray               # (B, V, Dimg)
+    loc_fts: np.ndarray                # (B, V, A+3)
+    nav_types: np.ndarray              # (B, V)
+    view_lens: np.ndarray              # (B,)
+    gmap_agg: np.ndarray               # (B, N, T*V)
+    gmap_step_ids: np.ndarray          # (B, N)
+    gmap_pos_fts: np.ndarray           # (B, N, A+3)
+    gmap_masks: np.ndarray             # (B, N)
+    gmap_visited_masks: np.ndarray     # (B, N)
+    gmap_pair_dists: np.ndarray        # (B, N, N)
+    bev_fts: Any                       # (B, C, 768) device array, no grad
+    bev_nav_masks: np.ndarray          # (B, C)
+    bev_cand_idxs: np.ndarray          # (B, K)
+    local_masks: np.ndarray            # (B, K)
+    fuse_map: np.ndarray               # (B, N, K)
+    bev_pos_fts: np.ndarray            # (B, C, A+3+3)
+    targets: np.ndarray                # (B,)
+
+
+class GMapNavAgent:
+    def __init__(self, cfg: FinetuneConfig, env: R2RNavBatch, seed: int = 0):
+        self.cfg = cfg
+        self.env = env
+        self.model = GlocalTextPathNavCMT(cfg.model)
+        self.projector = BevProjector(
+            vfov=math.radians(90.0),
+            grid_hw=cfg.shapes.grid_hw,
+            num_views=cfg.shapes.num_views,
+            map_dim=cfg.model.bev_dim,
+            map_res=cfg.model.bev_res,
+            z_clip=0.5,
+        )
+        self.polar = bev_polar_pos(cfg.model.bev_dim).reshape(-1, 3)
+        self.np_rng = np.random.default_rng(seed)
+        self.rng = jax.random.key(seed)
+        self.params = None
+        self.opt_state = None
+        self.tx = None
+        self._jitted: Dict[str, Any] = {}
+        self.logs: Dict[str, List[float]] = {"IL_loss": [], "entropy": []}
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, obs=None, pretrained_params=None):
+        """Initialise (or adopt pretrained backbone) parameters."""
+        sh, m = self.cfg.shapes, self.cfg.model
+        B = self.env.batch_size
+        dummy_nav = self._dummy_nav_batch(B)
+        variables = jax.jit(
+            lambda r: self.model.init(r, "navigation", dummy_nav)
+        )(jax.random.key(0))
+        params = variables["params"]
+        # language/panorama params come from the shared bert subtree, which
+        # the navigation init doesn't touch; init those too
+        lang_vars = jax.jit(
+            lambda r: self.model.init(
+                r,
+                "language",
+                {
+                    "txt_ids": np.zeros((B, 8), np.int32),
+                    "txt_masks": np.ones((B, 8), bool),
+                },
+            )
+        )(jax.random.key(1))
+        pano_vars = jax.jit(
+            lambda r: self.model.init(
+                r,
+                "panorama",
+                {
+                    "view_fts": np.zeros((B, sh.max_pano_len, m.image_feat_size), np.float32),
+                    "loc_fts": np.zeros((B, sh.max_pano_len, m.angle_feat_size + 3), np.float32),
+                    "nav_types": np.zeros((B, sh.max_pano_len), np.int32),
+                    "view_lens": np.full((B,), 4, np.int32),
+                },
+            )
+        )(jax.random.key(2))
+
+        def merge(a, b):
+            out = dict(a)
+            for k, v in b.items():
+                if k in out and isinstance(v, dict):
+                    out[k] = merge(out[k], v)
+                elif k not in out:
+                    out[k] = v
+            return out
+
+        params = merge(
+            merge(dict(params), dict(lang_vars["params"])),
+            dict(pano_vars["params"]),
+        )
+        if pretrained_params is not None:
+            from ..models.surgery import transfer_pretrained
+
+            params = transfer_pretrained(pretrained_params, params)
+        self.params = params
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(self.cfg.grad_norm),
+            optax.adamw(self.cfg.learning_rate, weight_decay=self.cfg.weight_decay),
+        )
+        self.opt_state = self.tx.init(self.params)
+        return self.params
+
+    def _dummy_nav_batch(self, B):
+        sh, m = self.cfg.shapes, self.cfg.model
+        N, K, C = sh.max_gmap_len, sh.max_local_len, m.num_bev_tokens
+        D, A = m.hidden_size, m.angle_feat_size
+        L = 8
+        return {
+            "txt_embeds": np.zeros((B, L, D), np.float32),
+            "txt_masks": np.ones((B, L), bool),
+            "gmap_img_embeds": np.zeros((B, N, D), np.float32),
+            "gmap_step_ids": np.zeros((B, N), np.int32),
+            "gmap_pos_fts": np.zeros((B, N, A + 3), np.float32),
+            "gmap_masks": np.ones((B, N), bool),
+            "gmap_pair_dists": np.zeros((B, N, N), np.float32),
+            "gmap_visited_masks": np.zeros((B, N), bool),
+            "bev_fts": np.zeros((B, C, m.bev_grid_feat_size), np.float32),
+            "bev_pos_fts": np.zeros((B, C, A + 3 + 3), np.float32),
+            "bev_masks": np.ones((B, C), bool),
+            "bev_nav_masks": np.zeros((B, C), bool),
+            "bev_cand_idxs": np.zeros((B, K), np.int32),
+            "local_masks": np.ones((B, K), bool),
+            "fuse_map": np.zeros((B, N, K), np.float32),
+        }
+
+    # ------------------------------------------------------------ jitted fns
+    def _fn(self, name):
+        if name in self._jitted:
+            return self._jitted[name]
+        model = self.model
+        if name == "language":
+            f = jax.jit(lambda p, b: model.apply({"params": p}, "language", b))
+        elif name == "panorama":
+            f = jax.jit(lambda p, b: model.apply({"params": p}, "panorama", b))
+        elif name == "navigation":
+            f = jax.jit(lambda p, b: model.apply({"params": p}, "navigation", b))
+        elif name == "lift":
+            f = jax.jit(self.projector.lift)
+        elif name == "splat":
+
+            def splat(pc, valid, feats, T_w2c, S_w2c):
+                cell, geo_ok = self.projector.ego_cells(pc, T_w2c, S_w2c)
+                bev, occ, _, _ = self.projector.splat(cell, valid & geo_ok, feats)
+                return bev
+
+            f = jax.jit(splat)
+        elif name == "loss_grad":
+            f = jax.jit(jax.value_and_grad(self._episode_loss))
+        elif name == "update":
+
+            def update(params, opt_state, grads):
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state
+
+            f = jax.jit(update)
+        else:
+            raise KeyError(name)
+        self._jitted[name] = f
+        return f
+
+    # ---------------------------------------------------------- episode loss
+    def _episode_loss(self, params, rb: Dict[str, jnp.ndarray]):
+        """Replay: exact single-backward episode loss.
+
+        rb holds step-stacked tensors with leading axis T; pano tokens are
+        encoded for all steps jointly, then a scan over steps rebuilds the
+        per-step global-map features through the recorded aggregation
+        matrices (gradient flows into every contributing pano encoding).
+        """
+        model = self.model
+        T, B, V = rb["view_fts"].shape[:3]
+        txt_embeds = model.apply(
+            {"params": params}, "language",
+            {"txt_ids": rb["txt_ids"], "txt_masks": rb["txt_masks"]},
+            deterministic=False, rngs={"dropout": rb["rng_lang"]},
+        )
+        flat = lambda x: x.reshape(T * B, *x.shape[2:])
+        pano_embeds, pano_masks = model.apply(
+            {"params": params}, "panorama",
+            {
+                "view_fts": flat(rb["view_fts"]),
+                "loc_fts": flat(rb["loc_fts"]),
+                "nav_types": flat(rb["nav_types"]),
+                "view_lens": flat(rb["view_lens"]),
+            },
+            deterministic=False, rngs={"dropout": rb["rng_pano"]},
+        )
+        D = pano_embeds.shape[-1]
+        tokens = (pano_embeds * pano_masks[..., None]).reshape(T, B, V, D)
+        tokens = jnp.transpose(tokens, (1, 0, 2, 3)).reshape(B, T * V, D)
+
+        def step_loss(carry, xs):
+            gmap_img = jnp.einsum(
+                "bnm,bmd->bnd", xs["gmap_agg"], tokens,
+                preferred_element_type=jnp.float32,
+            )
+            nav_in = {
+                "txt_embeds": txt_embeds,
+                "txt_masks": rb["txt_masks"],
+                "gmap_img_embeds": gmap_img,
+                "gmap_step_ids": xs["gmap_step_ids"],
+                "gmap_pos_fts": xs["gmap_pos_fts"],
+                "gmap_masks": xs["gmap_masks"],
+                "gmap_pair_dists": xs["gmap_pair_dists"],
+                "gmap_visited_masks": xs["gmap_visited_masks"],
+                "bev_fts": xs["bev_fts"],
+                "bev_pos_fts": xs["bev_pos_fts"],
+                "bev_masks": jnp.ones(xs["bev_fts"].shape[:2], bool),
+                "bev_nav_masks": xs["bev_nav_masks"],
+                "bev_cand_idxs": xs["bev_cand_idxs"],
+                "local_masks": xs["local_masks"],
+                "fuse_map": xs["fuse_map"],
+            }
+            outs = model.apply(
+                {"params": params}, "navigation", nav_in, deterministic=False,
+                rngs={"dropout": xs["rng"]},
+            )
+            logits = outs["fused_logits"]
+            targets = xs["targets"]
+            valid = targets != IGNORE_ID
+            safe = jnp.where(valid, targets, 0)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+            # sum-reduction CE with ignore_index (ref agent_base criterion)
+            return carry + jnp.where(valid, nll, 0.0).sum(), None
+
+        xs_keys = [
+            "gmap_agg", "gmap_step_ids", "gmap_pos_fts", "gmap_masks",
+            "gmap_pair_dists", "gmap_visited_masks", "bev_fts", "bev_pos_fts",
+            "bev_nav_masks", "bev_cand_idxs", "local_masks", "fuse_map",
+            "targets", "rng",
+        ]
+        xs = {k: rb[k] for k in xs_keys}
+        total, _ = jax.lax.scan(step_loss, jnp.zeros((), jnp.float32), xs)
+        return total * self.cfg.ml_weight / B
+
+    # ------------------------------------------------------------- variables
+    def _language_variable(self, obs):
+        # bucket text length to multiples of 32 to bound recompilation
+        raw = max(len(ob["instr_encoding"]) for ob in obs)
+        L = min(((raw + 31) // 32) * 32, self.cfg.max_instr_len)
+        B = len(obs)
+        ids = np.zeros((B, L), np.int32)
+        masks = np.zeros((B, L), bool)
+        for i, ob in enumerate(obs):
+            enc = np.asarray(ob["instr_encoding"])[:L]
+            ids[i, : len(enc)] = enc
+            masks[i, : len(enc)] = True
+        return {"txt_ids": ids, "txt_masks": masks}
+
+    def _panorama_variable(self, obs):
+        """(ref _panorama_feature_variable, agent.py:70-113) static V slots."""
+        sh, m = self.cfg.shapes, self.cfg.model
+        B, V = len(obs), sh.max_pano_len
+        A = m.angle_feat_size
+        view_fts = np.zeros((B, V, m.image_feat_size), np.float32)
+        loc_fts = np.zeros((B, V, A + 3), np.float32)
+        nav_types = np.zeros((B, V), np.int32)
+        view_lens = np.zeros(B, np.int32)
+        cand_vpids: List[List[str]] = []
+        for i, ob in enumerate(obs):
+            used = set()
+            k = 0
+            cands = []
+            for cand in ob["candidate"]:
+                if k >= V:
+                    break
+                view_fts[i, k] = cand["feature"][: m.image_feat_size]
+                loc_fts[i, k, :A] = cand["feature"][m.image_feat_size :]
+                loc_fts[i, k, A:] = 1.0
+                nav_types[i, k] = 1
+                used.add(cand["pointId"])
+                cands.append(cand["viewpointId"])
+                k += 1
+            feat36 = ob["feature"]
+            for view in range(36):
+                if view in used or k >= V:
+                    continue
+                view_fts[i, k] = feat36[view, : m.image_feat_size]
+                loc_fts[i, k, :A] = feat36[view, m.image_feat_size :]
+                loc_fts[i, k, A:] = 1.0
+                k += 1
+            view_lens[i] = k
+            cand_vpids.append(cands)
+        return {
+            "view_fts": view_fts, "loc_fts": loc_fts, "nav_types": nav_types,
+            "view_lens": view_lens,
+        }, cand_vpids
+
+    def lift(self, obs):
+        """World point clouds from the 12 agent-relative camera grids
+        (ref agent.py:115-141). Depth is stored metres/10."""
+        B = len(obs)
+        nv = self.cfg.shapes.num_views
+        xyzhe = np.zeros((B, nv, 5), np.float32)
+        for i, ob in enumerate(obs):
+            x, y, z = ob["position"]
+            xyzhe[i, :, 0] = x
+            xyzhe[i, :, 1] = z
+            xyzhe[i, :, 2] = -y
+            xyzhe[i, :, 3] = -(
+                np.arange(nv) * (2 * math.pi / nv) + ob["heading"]
+            )
+            xyzhe[i, :, 4] = math.pi
+        T = se3_from_xyzhe(xyzhe.reshape(-1, 5)).reshape(B, nv, 4, 4)
+        depths = np.stack([ob["depth"] for ob in obs]).astype(np.float32) * 10.0
+        pc, no_depth = self._fn("lift")(depths, T)
+        feats = np.stack([ob["rgb"] for ob in obs]).reshape(
+            B, -1, self.cfg.model.bev_grid_feat_size
+        )
+        return np.asarray(pc), np.asarray(~no_depth), feats
+
+    def _nav_gmap_variable(self, obs, gmaps, pano_store):
+        """Global-map tensors + aggregation matrix + node embeds for the
+        policy (ref _nav_gmap_variable, agent.py:194-267)."""
+        sh, m = self.cfg.shapes, self.cfg.model
+        B, N = len(obs), sh.max_gmap_len
+        V = sh.max_pano_len
+        T = self.cfg.max_action_len
+        A = m.angle_feat_size
+        out = {
+            "gmap_vpids": [],
+            "gmap_agg": np.zeros((B, N, T * V), np.float32),
+            "gmap_step_ids": np.zeros((B, N), np.int32),
+            "gmap_pos_fts": np.zeros((B, N, A + 3), np.float32),
+            "gmap_masks": np.zeros((B, N), bool),
+            "gmap_visited_masks": np.zeros((B, N), bool),
+            "gmap_pair_dists": np.zeros((B, N, N), np.float32),
+            "no_vp_left": [],
+        }
+        for i, (ob, gmap) in enumerate(zip(obs, gmaps)):
+            visited = [k for k in gmap.node_positions if gmap.graph.visited(k)]
+            unvisited = [
+                k for k in gmap.node_positions if not gmap.graph.visited(k)
+            ]
+            out["no_vp_left"].append(len(unvisited) == 0)
+            vpids = ([None] + visited + unvisited)[:N]
+            n = len(vpids)
+            out["gmap_vpids"].append(vpids)
+            out["gmap_masks"][i, :n] = True
+            out["gmap_visited_masks"][i, 1 : 1 + len(visited)] = True
+            out["gmap_step_ids"][i, :n] = [
+                min(gmap.node_step_ids.get(vp, 0), m.max_action_steps - 1)
+                for vp in vpids
+            ]
+            out["gmap_pos_fts"][i, :n] = gmap.get_pos_fts(
+                ob["viewpoint"], vpids, ob["heading"], ob["elevation"], A
+            )
+            for a in range(1, n):
+                for b in range(a + 1, n):
+                    d = gmap.graph.distance(vpids[a], vpids[b]) / 30.0
+                    out["gmap_pair_dists"][i, a, b] = d
+                    out["gmap_pair_dists"][i, b, a] = d
+            for node, vp in enumerate(vpids):
+                if vp is None:
+                    continue
+                refs = gmap.node_embed_refs.get(vp, [])
+                if not refs:
+                    continue
+                w = 1.0 / len(refs)
+                for (t, slot, _wt) in refs:
+                    if slot == -1:
+                        lens = pano_store["view_lens"][t][i]
+                        out["gmap_agg"][i, node, t * V : t * V + lens] += (
+                            w / max(lens, 1)
+                        )
+                    else:
+                        out["gmap_agg"][i, node, t * V + slot] += w
+        return out
+
+    def _nav_bev_variable(self, obs, gmaps, pc_store):
+        """Gather neighbourhood point clouds, splat to egocentric BEV, map
+        candidates to cells (ref agent.py:269-337)."""
+        sh, m = self.cfg.shapes, self.cfg.model
+        B = len(obs)
+        C, K = m.num_bev_tokens, sh.max_local_len
+        P = sh.num_points
+        S_max = sh.max_pc_steps
+        A = m.angle_feat_size
+        pc = np.zeros((B, S_max * P, 3), np.float32)
+        valid = np.zeros((B, S_max * P), bool)
+        feats = np.zeros((B, S_max * P, m.bev_grid_feat_size), np.float32)
+        S_w2c = np.zeros((B, 3), np.float32)
+        T_w2c = np.zeros((B, 4, 4), np.float32)
+        bev_nav_masks = np.zeros((B, C), bool)
+        bev_cand_idxs = np.zeros((B, K), np.int32)
+        local_masks = np.zeros((B, K), bool)
+        bev_cand_vpids: List[List[Optional[str]]] = []
+        bev_pos_fts = np.zeros((B, C, A + 3 + 3), np.float32)
+        for i, (ob, gmap) in enumerate(zip(obs, gmaps)):
+            steps = gmap.gather_pc_steps(ob["viewpoint"], self.cfg.pc_order)[-S_max:]
+            for s_i, t in enumerate(steps):
+                sl = slice(s_i * P, (s_i + 1) * P)
+                pc[i, sl] = pc_store["pc"][t][i]
+                valid[i, sl] = pc_store["valid"][t][i]
+                feats[i, sl] = pc_store["feats"][t][i]
+            x, y, z = ob["position"]
+            S_w2c[i] = [x, z, -y]
+            T_w2c[i] = se3_from_xyzhe(
+                np.array([[0, 0, 0, ob["heading"], 0]], np.float32)
+            )[0]
+            cand_pos = np.array(
+                [c["position"] for c in ob["candidate"]], np.float64
+            ).reshape(-1, 3)
+            cells = world_to_ego_cells_stop_centre(
+                cand_pos, np.asarray(ob["position"]), ob["heading"],
+                m.bev_dim, m.bev_res,
+            )[:K]
+            bev_cand_idxs[i, : len(cells)] = cells
+            local_masks[i, : len(cells)] = True
+            bev_nav_masks[i, cells] = True
+            bev_cand_vpids.append(
+                ([None] + [c["viewpointId"] for c in ob["candidate"]])[:K]
+            )
+            gpos = gmap.get_pos_fts(
+                ob["viewpoint"], [gmap.start_vp], ob["heading"], ob["elevation"], A
+            )[0]
+            bev_pos_fts[i, :, : A + 3] = gpos
+            bev_pos_fts[i, :, A + 3 :] = self.polar
+        bev_fts = self._fn("splat")(pc, valid, feats, T_w2c, S_w2c)
+        return {
+            "bev_fts": bev_fts,
+            "bev_pos_fts": bev_pos_fts,
+            "bev_nav_masks": bev_nav_masks,
+            "bev_cand_idxs": bev_cand_idxs,
+            "local_masks": local_masks,
+            "bev_cand_vpids": bev_cand_vpids,
+        }
+
+    def _build_fuse_map(self, gmap_vpids, gmap_visited_masks, bev_cand_vpids):
+        sh = self.cfg.shapes
+        B, N, K = len(gmap_vpids), sh.max_gmap_len, sh.max_local_len
+        fm = np.zeros((B, N, K), np.float32)
+        for i in range(B):
+            fm[i, 0, 0] = 1.0
+            visited = {
+                vp for vp, m in zip(gmap_vpids[i], gmap_visited_masks[i]) if m and vp
+            }
+            back_cols = [
+                k for k, vp in enumerate(bev_cand_vpids[i])
+                if k > 0 and vp in visited
+            ]
+            fresh = {
+                vp: k for k, vp in enumerate(bev_cand_vpids[i])
+                if k > 0 and vp not in visited
+            }
+            for n, vp in enumerate(gmap_vpids[i]):
+                if n == 0 or vp is None or vp in visited:
+                    continue
+                if vp in fresh:
+                    fm[i, n, fresh[vp]] = 1.0
+                else:
+                    for k in back_cols:
+                        fm[i, n, k] = 1.0
+        return fm
+
+    # --------------------------------------------------------------- teacher
+    def _teacher_action(self, obs, vpids, ended, visited_masks=None,
+                        imitation_learning=False, t=None, traj=None):
+        """(ref _teacher_action_r4r, agent.py:371-417)."""
+        a = np.full(len(obs), IGNORE_ID, np.int64)
+        for i, ob in enumerate(obs):
+            if ended[i]:
+                continue
+            g = self.env.graphs[ob["scan"]]
+            if imitation_learning:
+                if ob["viewpoint"] != ob["gt_path"][t]:
+                    # agent deviated (shouldn't happen under teacher forcing)
+                    a[i] = IGNORE_ID
+                    continue
+                if t == len(ob["gt_path"]) - 1:
+                    a[i] = 0
+                else:
+                    goal = ob["gt_path"][t + 1]
+                    for j, vp in enumerate(vpids[i]):
+                        if vp == goal:
+                            a[i] = j
+                            break
+                continue
+            if ob["viewpoint"] == ob["gt_path"][-1]:
+                a[i] = 0
+                continue
+            best, best_j = math.inf, IGNORE_ID
+            for j, vp in enumerate(vpids[i]):
+                if j == 0 or vp is None:
+                    continue
+                if visited_masks is not None and visited_masks[i][j]:
+                    continue
+                if self.cfg.expert_policy == "ndtw":
+                    cand_path = (
+                        sum(traj[i]["path"], [])
+                        + self.env.graphs[ob["scan"]].path(ob["viewpoint"], vp)
+                    )
+                    cost = -compute_dtw_metrics(
+                        g.distance, cand_path, ob["gt_path"], threshold=3.0
+                    )["nDTW"]
+                else:  # spl expert
+                    cost = g.distance(vp, ob["gt_path"][-1]) + g.distance(
+                        ob["viewpoint"], vp
+                    )
+                if cost < best:
+                    best, best_j = cost, j
+            a[i] = best_j
+        return a
+
+    # --------------------------------------------------------------- rollout
+    def rollout(self, feedback: str = "sample", train: bool = True):
+        cfg = self.cfg
+        obs = self.env.reset()
+        B = len(obs)
+        T = cfg.max_action_len
+
+        gmaps = [GraphMap(ob["viewpoint"]) for ob in obs]
+        for i, ob in enumerate(obs):
+            gmaps[i].update_graph(ob)
+        traj = [
+            {"instr_id": ob["instr_id"], "path": [[ob["viewpoint"]]]}
+            for ob in obs
+        ]
+        lang = self._language_variable(obs)
+        txt_embeds = self._fn("language")(self.params, lang)
+
+        ended = np.zeros(B, bool)
+        just_ended = np.zeros(B, bool)
+        pano_store = {"view_lens": {}, "embeds": {}}
+        pc_store = {"pc": {}, "valid": {}, "feats": {}}
+        records: List[StepRecord] = []
+
+        for t in range(T):
+            for i, gmap in enumerate(gmaps):
+                if not ended[i]:
+                    gmap.node_step_ids[obs[i]["viewpoint"]] = t + 1
+
+            pano_in, cand_vpids = self._panorama_variable(obs)
+            pano_embeds, pano_masks = self._fn("panorama")(self.params, pano_in)
+            pano_np = np.asarray(pano_embeds)
+            pano_store["view_lens"][t] = pano_in["view_lens"]
+            pano_store["embeds"][t] = pano_np
+
+            pc, pc_valid, pc_feats = self.lift(obs)
+            pc_store["pc"][t] = pc
+            pc_store["valid"][t] = pc_valid
+            pc_store["feats"][t] = pc_feats
+
+            for i, gmap in enumerate(gmaps):
+                if ended[i]:
+                    continue
+                vp = obs[i]["viewpoint"]
+                gmap.set_visited_embed(vp, t, pano_in["view_lens"][i])
+                gmap.set_node_pc(vp, t)
+                for j, cand_vp in enumerate(cand_vpids[i]):
+                    if not gmap.graph.visited(cand_vp):
+                        gmap.add_sighting(cand_vp, t, j)
+
+            nav_g = self._nav_gmap_variable(obs, gmaps, pano_store)
+            nav_b = self._nav_bev_variable(obs, gmaps, pc_store)
+            fuse_map = self._build_fuse_map(
+                nav_g["gmap_vpids"], nav_g["gmap_visited_masks"],
+                nav_b["bev_cand_vpids"],
+            )
+            # node embeds for the policy: host contraction of stored pano
+            gmap_img = self._policy_node_embeds(nav_g["gmap_agg"], pano_store, B)
+            nav_in = {
+                "txt_embeds": txt_embeds,
+                "txt_masks": lang["txt_masks"],
+                "gmap_img_embeds": gmap_img,
+                "gmap_step_ids": nav_g["gmap_step_ids"],
+                "gmap_pos_fts": nav_g["gmap_pos_fts"],
+                "gmap_masks": nav_g["gmap_masks"],
+                "gmap_pair_dists": nav_g["gmap_pair_dists"],
+                "gmap_visited_masks": nav_g["gmap_visited_masks"],
+                "bev_fts": nav_b["bev_fts"],
+                "bev_pos_fts": nav_b["bev_pos_fts"],
+                "bev_masks": np.ones((B, self.cfg.model.num_bev_tokens), bool),
+                "bev_nav_masks": nav_b["bev_nav_masks"],
+                "bev_cand_idxs": nav_b["bev_cand_idxs"],
+                "local_masks": nav_b["local_masks"],
+                "fuse_map": fuse_map,
+            }
+            nav_outs = self._fn("navigation")(self.params, nav_in)
+            nav_logits = np.asarray(nav_outs["fused_logits"])
+            nav_vpids = nav_g["gmap_vpids"]
+            nav_probs = np.exp(
+                nav_logits - nav_logits.max(-1, keepdims=True)
+            )
+            nav_probs /= nav_probs.sum(-1, keepdims=True)
+
+            for i, gmap in enumerate(gmaps):
+                if not ended[i]:
+                    gmap.node_stop_scores[obs[i]["viewpoint"]] = float(
+                        nav_probs[i, 0]
+                    )
+
+            targets = self._teacher_action(
+                obs, nav_vpids, ended,
+                visited_masks=nav_g["gmap_visited_masks"],
+                imitation_learning=(feedback == "teacher"), t=t, traj=traj,
+            )
+
+            if train:
+                records.append(
+                    StepRecord(
+                        active=~ended.copy(),
+                        view_fts=pano_in["view_fts"],
+                        loc_fts=pano_in["loc_fts"],
+                        nav_types=pano_in["nav_types"],
+                        view_lens=pano_in["view_lens"],
+                        gmap_agg=nav_g["gmap_agg"],
+                        gmap_step_ids=nav_g["gmap_step_ids"],
+                        gmap_pos_fts=nav_g["gmap_pos_fts"],
+                        gmap_masks=nav_g["gmap_masks"],
+                        gmap_visited_masks=nav_g["gmap_visited_masks"],
+                        gmap_pair_dists=nav_g["gmap_pair_dists"],
+                        bev_fts=nav_b["bev_fts"],
+                        bev_nav_masks=nav_b["bev_nav_masks"],
+                        bev_cand_idxs=nav_b["bev_cand_idxs"],
+                        local_masks=nav_b["local_masks"],
+                        fuse_map=fuse_map,
+                        bev_pos_fts=nav_b["bev_pos_fts"],
+                        targets=np.where(ended, IGNORE_ID, targets),
+                    )
+                )
+
+            # pick actions
+            if feedback == "teacher":
+                a_t = targets
+            elif feedback == "argmax":
+                a_t = nav_logits.argmax(-1)
+            elif feedback == "sample":
+                a_t = np.array(
+                    [
+                        self.np_rng.choice(len(p), p=p)
+                        for p in nav_probs
+                    ]
+                )
+            else:
+                raise ValueError(feedback)
+
+            if feedback in ("teacher", "sample"):
+                a_t_stop = [ob["viewpoint"] == ob["gt_path"][-1] for ob in obs]
+            else:
+                a_t_stop = a_t == 0
+
+            actions: List[Optional[str]] = []
+            for i in range(B):
+                if (
+                    a_t_stop[i]
+                    or ended[i]
+                    or nav_g["no_vp_left"][i]
+                    or t == T - 1
+                    or targets[i] == IGNORE_ID and feedback == "teacher"
+                ):
+                    actions.append(None)
+                    just_ended[i] = True
+                else:
+                    actions.append(nav_vpids[i][a_t[i]])
+
+            self._make_equiv_action(actions, gmaps, obs, traj)
+
+            # stop-node backtrack on episode end (ref agent.py:602-615)
+            for i in range(B):
+                if not ended[i] and just_ended[i]:
+                    stop_node, stop_score = None, -math.inf
+                    for vp, sc in gmaps[i].node_stop_scores.items():
+                        if sc > stop_score:
+                            stop_node, stop_score = vp, sc
+                    if stop_node is not None and obs[i]["viewpoint"] != stop_node:
+                        traj[i]["path"].append(
+                            gmaps[i].graph.path(obs[i]["viewpoint"], stop_node)
+                        )
+
+            obs = self.env.get_obs()
+            for i, ob in enumerate(obs):
+                if not ended[i]:
+                    gmaps[i].update_graph(ob)
+            ended |= np.array([a is None for a in actions])
+            if ended.all():
+                break
+
+        loss = None
+        if train and records:
+            loss = self._learn(lang, records)
+        return traj, loss
+
+    def _policy_node_embeds(self, gmap_agg, pano_store, B):
+        sh = self.cfg.shapes
+        V = sh.max_pano_len
+        T = self.cfg.max_action_len
+        D = self.cfg.model.hidden_size
+        tokens = np.zeros((B, T * V, D), np.float32)
+        for t, emb in pano_store["embeds"].items():
+            v = emb.shape[1]
+            tokens[:, t * V : t * V + v] = emb
+        return np.einsum("bnm,bmd->bnd", gmap_agg, tokens).astype(np.float32)
+
+    def _make_equiv_action(self, actions, gmaps, obs, traj):
+        """Teleport to the chosen node along the map's shortest path
+        (ref make_equiv_action, agent.py:419-435)."""
+        for i, ob in enumerate(obs):
+            act = actions[i]
+            if act is None:
+                continue
+            path = gmaps[i].graph.path(ob["viewpoint"], act)
+            traj[i]["path"].append(path)
+            prev = (
+                traj[i]["path"][-2][-1] if len(path) == 1 else path[-2]
+            )
+            cands = self.env.scanvp_cands.get(f"{ob['scan']}_{prev}", {})
+            viewidx = cands.get(act, [12])[0]
+            heading = (viewidx % 12) * math.radians(30.0)
+            self.env.teleport(i, act, heading)
+
+    # ----------------------------------------------------------------- learn
+    def _learn(self, lang, records: List[StepRecord]):
+        T = self.cfg.max_action_len
+        B = records[0].view_fts.shape[0]
+
+        def stack(attr):
+            arrs = [np.asarray(getattr(r, attr)) for r in records]
+            pad = T - len(arrs)
+            if pad:
+                arrs = arrs + [np.zeros_like(arrs[0])] * pad
+            return np.stack(arrs)
+
+        rb = {
+            k: stack(k)
+            for k in (
+                "view_fts", "loc_fts", "nav_types", "view_lens", "gmap_agg",
+                "gmap_step_ids", "gmap_pos_fts", "gmap_masks",
+                "gmap_pair_dists", "gmap_visited_masks", "bev_nav_masks",
+                "bev_cand_idxs", "local_masks", "fuse_map", "bev_pos_fts",
+            )
+        }
+        bev = [np.asarray(r.bev_fts) for r in records]
+        bev += [np.zeros_like(bev[0])] * (T - len(bev))
+        rb["bev_fts"] = np.stack(bev)
+        tgt = [r.targets for r in records]
+        tgt += [np.full_like(tgt[0], IGNORE_ID)] * (T - len(tgt))
+        rb["targets"] = np.stack(tgt)
+        rb["txt_ids"] = lang["txt_ids"]
+        rb["txt_masks"] = lang["txt_masks"]
+        self.rng, sub = jax.random.split(self.rng)
+        keys = jax.random.split(sub, T + 2)
+        rb["rng"] = keys[:T]
+        rb["rng_lang"] = keys[T]
+        rb["rng_pano"] = keys[T + 1]
+        # view_lens of padded steps must be >=1? masked rows are fine: all
+        # tokens masked out -> attn_bias fully NEG_INF; loss rows are ignored.
+        loss, grads = self._fn("loss_grad")(self.params, rb)
+        self.params, self.opt_state = self._fn("update")(
+            self.params, self.opt_state, grads
+        )
+        loss_val = float(loss)
+        self.logs["IL_loss"].append(loss_val)
+        return loss_val
+
+    # ------------------------------------------------------------------ test
+    def test(self, max_batches: Optional[int] = None):
+        """Greedy evaluation over the dataset until it wraps
+        (ref agent_base.py:44-70)."""
+        self.env.reset_epoch(shuffle=False)
+        results = {}
+        n = 0
+        while True:
+            trajs, _ = self.rollout(feedback="argmax", train=False)
+            looped = False
+            for tr in trajs:
+                if tr["instr_id"] in results:
+                    looped = True
+                else:
+                    results[tr["instr_id"]] = tr["path"]
+            n += 1
+            if looped or (max_batches and n >= max_batches):
+                break
+        return [
+            {"instr_id": k, "trajectory": v} for k, v in results.items()
+        ]
+
+    def train_iters(self, n_iters: int, feedback: str = "sample"):
+        losses = []
+        for _ in range(n_iters):
+            if feedback == "dagger":
+                # DAgger interleaves a teacher-forced and a sampled rollout
+                # per iteration (ref agent_base.py:195-202)
+                _, l1 = self.rollout(feedback="teacher", train=True)
+                _, l2 = self.rollout(feedback="sample", train=True)
+                losses += [l for l in (l1, l2) if l is not None]
+            else:
+                _, loss = self.rollout(feedback=feedback, train=True)
+                if loss is not None:
+                    losses.append(loss)
+        return losses

@@ -1,0 +1,189 @@
+"""The pjit-compiled pretraining step.
+
+One XLA program per proxy task (task is a static argument): device-side BEV
+lift-splat -> model forward -> loss -> grad -> clipped AdamW update. Under a
+``dp`` mesh the batch is sharded on its leading axis and XLA inserts the
+gradient all-reduce over ICI — the TPU-native equivalent of the reference's
+DDP wrapper + GradScaler loop (/root/reference/pretrain_src/train_r2r.py:247-313).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import ModelConfig, OptimConfig, PretrainConfig
+from ..models import GlocalTextPathCMTPreTraining
+from ..ops.bev import BevProjector
+from .optim import make_optimizer
+
+Batch = Dict[str, Any]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+
+def build_projector(cfg: ModelConfig, shapes=None) -> BevProjector:
+    import math
+
+    return BevProjector(
+        vfov=math.radians(90.0),
+        grid_hw=shapes.grid_hw if shapes else 14,
+        num_views=shapes.num_views if shapes else 12,
+        map_dim=cfg.bev_dim,
+        map_res=cfg.bev_res,
+        z_clip=0.5,
+        num_sem=cfg.num_sem_classes,
+    )
+
+
+def prepare_bev(projector: BevProjector, batch: Batch) -> Batch:
+    """Run the device-side lift-splat if the batch carries raw grids
+    (ref GlocalTextPathCMTPreTraining.lift_splat, pretrain_cmt.py:114-167)."""
+    if "depths" not in batch:
+        return batch
+    out = dict(batch)
+    depths = out.pop("depths")
+    bev, occupancy, sem, sem_mask = projector.lift_splat(
+        depths,
+        out.pop("T_c2w"),
+        out.pop("T_w2c"),
+        out.pop("S_w2c"),
+        out.pop("grid_fts"),
+        out.pop("sem_labels"),
+    )
+    out["bev_fts"] = bev
+    out["bev_sems"] = sem
+    out["bev_sem_masks"] = sem_mask
+    # pretrain attends over the full grid (bev_masks = ones,
+    # ref pretrain_cmt.py:152); occupancy is available for visualisation
+    return out
+
+
+def make_loss_fn(model: GlocalTextPathCMTPreTraining, projector: BevProjector):
+    def loss_fn(params, batch: Batch, task: str, rng) -> Tuple[jnp.ndarray, Dict]:
+        batch = dict(batch)
+        if task == "mlm" and "mlm_ids" in batch:
+            batch["txt_ids"] = batch["mlm_ids"]
+        batch = prepare_bev(projector, batch)
+        loss, metrics = model.apply(
+            {"params": params}, batch, task,
+            deterministic=False, rngs={"dropout": rng},
+        )
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_pretrain_step(
+    model: GlocalTextPathCMTPreTraining,
+    projector: BevProjector,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Returns step(state, batch, rng, task) -> (state, metrics); ``task`` is
+    static so each proxy task compiles once."""
+    loss_fn = make_loss_fn(model, projector)
+
+    def step(state: TrainState, batch: Batch, rng, task: str):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, task, rng
+        )
+        new_state = state.apply_gradients(grads)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, static_argnames=("task",), donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    return jax.jit(
+        step,
+        static_argnames=("task",),
+        donate_argnums=(0,),
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def _ensure_task_keys(batch: Batch, cfg: PretrainConfig) -> Batch:
+    """Fill zero placeholders for task-specific label keys missing from the
+    init batch — init_all touches every task head, but a single task's batch
+    only carries its own labels."""
+    import numpy as np
+
+    b = dict(batch)
+    bs = b["txt_ids"].shape[0]
+    sh, m = cfg.shapes, cfg.model
+    defaults = {
+        "mlm_ids": b["txt_ids"],
+        "mlm_pos": np.zeros((bs, sh.max_masked_tokens), np.int32),
+        "mlm_tgt": np.zeros((bs, sh.max_masked_tokens), np.int32),
+        "mlm_valid": np.zeros((bs, sh.max_masked_tokens), bool),
+        "global_act_labels": np.zeros(bs, np.int64),
+        "local_act_labels": np.zeros(bs, np.int64),
+        "bev_mrc_masks": np.zeros((bs, m.num_bev_tokens), bool),
+    }
+    if "traj_obj_fts" in b:
+        defaults.update(
+            obj_labels=np.zeros(bs, np.int64),
+            obj_probs=np.zeros((bs, sh.max_objects, m.obj_prob_size), np.float32),
+            obj_mrc_masks=np.zeros((bs, sh.max_objects), bool),
+        )
+    if "depths" not in b:
+        defaults.update(
+            bev_sems=np.zeros((bs, m.num_bev_tokens, m.num_sem_classes), np.float32),
+            bev_sem_masks=np.zeros((bs, m.num_bev_tokens), bool),
+        )
+    for k, v in defaults.items():
+        b.setdefault(k, v)
+    return b
+
+
+def init_pretrain_state(
+    cfg: PretrainConfig,
+    batch: Batch,
+    seed: int = 0,
+) -> Tuple[GlocalTextPathCMTPreTraining, BevProjector, TrainState]:
+    """Build model + projector and initialise params/optimiser."""
+    model = GlocalTextPathCMTPreTraining(
+        cfg.model, tasks=tuple(cfg.tasks), sem_pred_token=cfg.sem_pred_token
+    )
+    projector = build_projector(cfg.model, cfg.shapes)
+    # Initialise on a batch-size-1 slice (shapes don't affect param shapes)
+    # under jit: eager flax init would issue thousands of tiny device ops.
+    small = {k: v[:1] for k, v in batch.items()}
+    small = _ensure_task_keys(small, cfg)
+    init_batch = prepare_bev(projector, small)
+    init_fn = jax.jit(lambda rng, b: model.init(rng, b, method=model.init_all))
+    variables = init_fn(jax.random.key(seed), init_batch)
+    params = variables["params"]
+    tx = make_optimizer(cfg.optim, params_for_mask=params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+    return model, projector, state

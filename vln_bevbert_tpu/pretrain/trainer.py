@@ -1,0 +1,143 @@
+"""Pretraining driver: the classic step loop of the reference
+(/root/reference/pretrain_src/train_r2r.py:247-348) as a thin host loop around
+the compiled step — MetaLoader task schedule, running meters, periodic
+validation, orbax checkpointing with optimiser state + step (the reference's
+ModelSaver/train-state pair, pretrain_src/utils/save.py:23-46).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..configs import PretrainConfig
+from ..data.loader import PretrainLoader
+from ..parallel import init_pretrain_state, make_pretrain_step
+from ..parallel.mesh import shard_batch
+from ..utils.logging import MetricLogger, RunningMeter
+
+
+class PretrainTrainer:
+    def __init__(
+        self,
+        cfg: PretrainConfig,
+        train_loader: PretrainLoader,
+        val_loaders: Optional[Dict[str, PretrainLoader]] = None,
+        mesh=None,
+        output_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loaders = val_loaders or {}
+        self.mesh = mesh
+        self.output_dir = output_dir or cfg.output_dir
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.logger = MetricLogger(self.output_dir)
+
+        _, first = train_loader.build_batch(0)
+        self.model, self.projector, self.state = init_pretrain_state(cfg, first)
+        self.step_fn = make_pretrain_step(self.model, self.projector, mesh)
+        self.rng = jax.random.key(cfg.seed)
+
+    # ------------------------------------------------------------ checkpoints
+    def save(self, step: int):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.output_dir, f"ckpt_{step}"))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            })
+        return path
+
+    def restore(self, path: str):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            target = {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            }
+            restored = ckptr.restore(os.path.abspath(path), target)
+        self.state = self.state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+    # ------------------------------------------------------------------ train
+    def train(self, num_steps: Optional[int] = None):
+        cfg = self.cfg
+        num_steps = num_steps or cfg.optim.num_train_steps
+        meters = defaultdict(RunningMeter)
+        n_examples = 0
+        t_start = time.time()
+        start_step = int(self.state.step)
+        it = iter(self.train_loader)
+        for _ in range(start_step, num_steps):
+            task, batch = next(it)
+            base = task.split("_")[0]
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.step_fn(self.state, batch, self.rng, base)
+            n_examples += cfg.train_batch_size
+            step = int(self.state.step)
+            for k, v in metrics.items():
+                meters[f"{base}/{k}"].update(float(v))
+            if step % cfg.log_steps == 0:
+                ex_per_sec = n_examples / (time.time() - t_start)
+                self.logger.log(
+                    step,
+                    {
+                        "train/examples_per_sec": ex_per_sec,
+                        **{k: m.value for k, m in meters.items()},
+                    },
+                )
+            if cfg.valid_steps and step % cfg.valid_steps == 0:
+                self.validate(step)
+                self.save(step)
+        return self.state
+
+    # -------------------------------------------------------------- validation
+    def validate(self, step: int, num_batches: int = 8):
+        """Per-task validation meters (ref validate_{mlm,sap,sem},
+        train_r2r.py:372-510)."""
+        results = {}
+        for split, loader in self.val_loaders.items():
+            agg = defaultdict(list)
+            for i, task in enumerate(self.cfg.tasks):
+                base = task.split("_")[0]
+                for j in range(num_batches):
+                    _, batch = loader.build_batch(i * num_batches + j, task=task)
+                    _, metrics = self.eval_step(batch, base)
+                    for k, v in metrics.items():
+                        agg[f"{split}/{base}/{k}"].append(float(v))
+            results.update({k: float(np.mean(v)) for k, v in agg.items()})
+        if results:
+            self.logger.log(step, results)
+        return results
+
+    def eval_step(self, batch, task: str):
+        from ..parallel.train_step import prepare_bev
+
+        if not hasattr(self, "_eval_fn"):
+            model, projector = self.model, self.projector
+
+            def eval_fn(params, b, t):
+                b = dict(b)
+                if t == "mlm" and "mlm_ids" in b:
+                    b["txt_ids"] = b["mlm_ids"]
+                b = prepare_bev(projector, b)
+                return model.apply({"params": params}, b, t, deterministic=True)
+
+            self._eval_fn = jax.jit(eval_fn, static_argnames=("t",))
+        return self._eval_fn(self.state.params, batch, task)
