@@ -1,0 +1,65 @@
+"""CLI smoke tests: both entry points run end-to-end in synthetic mode."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY_MODEL = {
+    "vocab_size": 30522, "hidden_size": 32, "num_attention_heads": 2,
+    "intermediate_size": 64, "num_l_layers": 1, "num_pano_layers": 1,
+    "num_x_layers": 1, "image_feat_size": 16, "bev_grid_feat_size": 12,
+    "bev_dim": 5, "bev_res": 1.5, "dtype": "float32",
+}
+TINY_SHAPES = {
+    "max_txt_len": 48, "max_steps": 5, "max_pano_len": 40, "max_gmap_len": 20,
+    "max_local_len": 8, "max_objects": 0, "num_views": 2, "grid_hw": 4,
+    "max_masked_tokens": 6, "max_pc_steps": 3,
+}
+
+
+def test_pretrain_cli_synthetic(tmp_path, monkeypatch):
+    from vln_bevbert_tpu.cli import pretrain
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model": TINY_MODEL, "shapes": TINY_SHAPES,
+        "optim": {"num_train_steps": 3, "warmup_steps": 1},
+        "train_batch_size": 2, "valid_steps": 0, "log_steps": 2,
+    }))
+    orig = pretrain.build_synthetic_db
+    monkeypatch.setattr(
+        pretrain, "build_synthetic_db",
+        lambda cfg, seed=0, tmpdir=None: orig(cfg, seed, str(tmp_path / "synth")),
+    )
+    out = tmp_path / "run"
+    pretrain.main([
+        "--synthetic", "--config", str(cfg_path), "--output_dir", str(out),
+        "--num_steps", "3",
+    ])
+    assert (out / "metrics.jsonl").exists()
+    # final checkpoint written
+    assert any(p.name.startswith("ckpt_") for p in out.iterdir())
+
+
+def test_finetune_cli_synthetic(tmp_path, monkeypatch):
+    from vln_bevbert_tpu.cli import finetune
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model": TINY_MODEL, "shapes": TINY_SHAPES,
+        "batch_size": 2, "max_action_len": 4,
+    }))
+    out = tmp_path / "run"
+    finetune.main([
+        "--synthetic", "--config", str(cfg_path), "--output_dir", str(out),
+        "--iters", "1", "--log_every", "1", "--feedback", "sample",
+        "--synth_dir", str(tmp_path / "synth_nav"),
+    ])
+    assert (out / "metrics.jsonl").exists()
+    assert (out / "ckpt_latest").exists()
+    preds = [p for p in out.iterdir() if p.name.startswith("preds_")]
+    assert preds
+    data = json.loads(preds[0].read_text())
+    assert all("instr_id" in d and "trajectory" in d for d in data)

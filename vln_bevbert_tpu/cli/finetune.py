@@ -1,0 +1,192 @@
+"""Discrete-environment fine-tuning CLI — role of
+/root/reference/map_nav_src/r2r/main_nav.py + scripts/ft_*.bash: DAgger
+training with periodic full evaluation, best-checkpoint selection on sr+spl
+(main_nav.py:216-231), and submission-format prediction dumps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--dataset", default="r2r", choices=["r2r", "r4r", "rxr"])
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--output_dir", default="runs/finetune")
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--log_every", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--feedback", default="dagger",
+                   choices=["dagger", "teacher", "sample"])
+    p.add_argument("--pretrain_ckpt", default=None,
+                   help="orbax checkpoint from bevbert-pretrain")
+    p.add_argument("--test", action="store_true", help="evaluate only")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synth_dir", default="/tmp/bevbert_synth_nav")
+    return p.parse_args(argv)
+
+
+def build_envs(cfg, args):
+    import numpy as np
+
+    from ..data.feature_db import H5FeatureDB, write_synthetic_features
+    from ..data.loader import make_synthetic_annotations
+    from ..data.nav_graph import (
+        build_scanvp_cands,
+        load_nav_graphs,
+        write_synthetic_connectivity,
+    )
+    from ..nav.env import R2RNavBatch
+
+    if args.synthetic or not args.data_root:
+        tmpdir = args.synth_dir
+        rng = np.random.default_rng(args.seed)
+        conn = os.path.join(tmpdir, "conn")
+        fts = os.path.join(tmpdir, "fts")
+        if not os.path.exists(os.path.join(conn, "scans.txt")):
+            write_synthetic_connectivity(conn, rng, n_scans=3, n_nodes=16)
+        graphs = load_nav_graphs(conn)
+        cands = build_scanvp_cands(graphs)
+        if not os.path.exists(os.path.join(fts, "view_fts.hdf5")):
+            write_synthetic_features(
+                fts, rng, {s: g.node_ids for s, g in graphs.items()},
+                image_feat_size=cfg.model.image_feat_size,
+                grid_feat_size=cfg.model.bev_grid_feat_size,
+                grid_hw=cfg.shapes.grid_hw, num_views=cfg.shapes.num_views,
+            )
+        train_annos = make_synthetic_annotations(graphs, rng, n_items=64)
+        val_annos = make_synthetic_annotations(graphs, rng, n_items=16)
+        dbs = dict(
+            view_db=H5FeatureDB(os.path.join(fts, "view_fts.hdf5")),
+            grid_db=H5FeatureDB(os.path.join(fts, "grid_fts.hdf5")),
+            depth_db=H5FeatureDB(os.path.join(fts, "depth.hdf5")),
+        )
+    else:
+        graphs = load_nav_graphs(os.path.join(args.data_root, "connectivity"))
+        cands_file = os.path.join(
+            args.data_root, "scanvp_candview_relangles.json"
+        )
+        if os.path.exists(cands_file):
+            with open(cands_file) as f:
+                cands = json.load(f)
+        else:
+            cands = build_scanvp_cands(graphs)
+
+        def load_annos(split):
+            out = []
+            with open(
+                os.path.join(args.data_root, f"{args.dataset}_{split}_enc.jsonl")
+            ) as f:
+                for line in f:
+                    if line.strip():
+                        out.append(json.loads(line))
+            return out
+
+        train_annos = load_annos("train")
+        val_annos = load_annos("val_unseen")
+        dbs = dict(
+            view_db=H5FeatureDB(os.path.join(args.data_root, "view_fts.hdf5")),
+            grid_db=H5FeatureDB(os.path.join(args.data_root, "grid_fts.hdf5")),
+            depth_db=H5FeatureDB(os.path.join(args.data_root, "depth.hdf5")),
+        )
+
+    mk = lambda annos, name, seed: R2RNavBatch(
+        annos, graphs, cands, batch_size=cfg.batch_size,
+        image_feat_size=cfg.model.image_feat_size, seed=seed, name=name, **dbs,
+    )
+    return mk(train_annos, "train", args.seed), mk(val_annos, "val_unseen", args.seed + 1)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from ..configs import FinetuneConfig, load_config
+    from ..nav.agent import GMapNavAgent
+    from ..utils.logging import MetricLogger
+
+    overrides = {"dataset": args.dataset, "seed": args.seed,
+                 "output_dir": args.output_dir}
+    if args.iters:
+        overrides["iters"] = args.iters
+    if args.log_every:
+        overrides["log_every"] = args.log_every
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    cfg = load_config(FinetuneConfig, args.config, **overrides)
+    if args.dataset == "rxr":
+        cfg.model.lang_bert_name = "xlm-roberta-base"
+        cfg.model.vocab_size = 250002
+        cfg.expert_policy = "ndtw"
+        cfg.ml_weight = 0.8
+
+    train_env, val_env = build_envs(cfg, args)
+    agent = GMapNavAgent(cfg, train_env, seed=cfg.seed)
+
+    pretrained = None
+    if args.pretrain_ckpt:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(args.pretrain_ckpt))
+        pretrained = restored["params"]
+    agent.init_params(pretrained_params=pretrained)
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    logger = MetricLogger(cfg.output_dir)
+
+    def evaluate(tag, step):
+        agent.env = val_env
+        preds = agent.test()
+        avg, _ = val_env.eval_metrics(preds)
+        logger.log(step, {f"{tag}/{k}": v for k, v in avg.items()})
+        with open(os.path.join(cfg.output_dir, f"preds_{tag}_{step}.json"), "w") as f:
+            json.dump(
+                [
+                    {"instr_id": p["instr_id"],
+                     "trajectory": sum(p["trajectory"], [])}
+                    for p in preds
+                ],
+                f,
+            )
+        agent.env = train_env
+        return avg
+
+    if args.test:
+        evaluate("val_unseen", 0)
+        return
+
+    best = {"score": -1.0}
+    log_every = cfg.log_every
+    done = 0
+    while done < cfg.iters:
+        n = min(log_every, cfg.iters - done)
+        losses = agent.train_iters(n, feedback=args.feedback)
+        done += n
+        logger.log(done, {"train/IL_loss": float(sum(losses) / max(len(losses), 1))})
+        avg = evaluate("val_unseen", done)
+        score = avg["sr"] + avg["spl"]
+        if score > best["score"]:
+            best = {"score": score, "step": done, **avg}
+            _save_agent(agent, os.path.join(cfg.output_dir, "ckpt_best"))
+    _save_agent(agent, os.path.join(cfg.output_dir, "ckpt_latest"))
+    logger.log(done, {f"best/{k}": v for k, v in best.items() if k != "step"})
+
+
+def _save_agent(agent, path):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path),
+            {"params": agent.params, "opt_state": agent.opt_state},
+            force=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

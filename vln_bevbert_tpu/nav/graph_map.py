@@ -51,8 +51,9 @@ class FloydGraph:
 
     def update(self, k: str):
         """Relax all pairs through newly-visited node k."""
-        for x in self._dis:
-            for y in self._dis:
+        nodes = list(self._dis)
+        for x in nodes:
+            for y in nodes:
                 if x != y:
                     through = self._dis[x][k] + self._dis[k][y]
                     if through < self._dis[x][y]:
@@ -73,11 +74,26 @@ class FloydGraph:
         return self.path(x, k) + self.path(k, y)
 
 
+def make_floyd_graph(use_native: Optional[bool] = None):
+    """Native C++ engine when available (vln_bevbert_tpu/native), else the
+    Python implementation. Identical surfaces and semantics."""
+    if use_native is None or use_native:
+        try:
+            from ..native import NativeFloydGraph, available
+
+            if available():
+                return NativeFloydGraph()
+        except Exception:
+            if use_native:
+                raise
+    return FloydGraph()
+
+
 class GraphMap:
-    def __init__(self, start_vp: str):
+    def __init__(self, start_vp: str, use_native: Optional[bool] = None):
         self.start_vp = start_vp
         self.node_positions: Dict[str, Tuple[float, float, float]] = {}
-        self.graph = FloydGraph()
+        self.graph = make_floyd_graph(use_native)
         # vp -> list of (step, slot, raw_weight); final embed = weighted mean
         self.node_embed_refs: Dict[str, List[Tuple[int, int, float]]] = {}
         # vp -> index of the rollout step whose lifted point cloud covers it
