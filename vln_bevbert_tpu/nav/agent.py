@@ -69,6 +69,10 @@ class StepRecord:
     fuse_map: np.ndarray               # (B, N, K)
     bev_pos_fts: np.ndarray            # (B, C, A+3+3)
     targets: np.ndarray                # (B,)
+    step_idx: int = 0
+    obj_fts: Optional[np.ndarray] = None     # (B, O, Dobj)
+    obj_lens: Optional[np.ndarray] = None    # (B,)
+    obj_targets: Optional[np.ndarray] = None  # (B,)
 
 
 class GMapNavAgent:
@@ -115,17 +119,18 @@ class GMapNavAgent:
                 },
             )
         )(jax.random.key(1))
+        O = sh.max_objects if m.obj_feat_size > 0 else 0
+        pano_batch = {
+            "view_fts": np.zeros((B, sh.max_pano_len, m.image_feat_size), np.float32),
+            "loc_fts": np.zeros((B, sh.max_pano_len + O, m.angle_feat_size + 3), np.float32),
+            "nav_types": np.zeros((B, sh.max_pano_len + O), np.int32),
+            "view_lens": np.full((B,), 4, np.int32),
+        }
+        if O:
+            pano_batch["obj_fts"] = np.zeros((B, O, m.obj_feat_size), np.float32)
+            pano_batch["obj_lens"] = np.ones((B,), np.int32)
         pano_vars = jax.jit(
-            lambda r: self.model.init(
-                r,
-                "panorama",
-                {
-                    "view_fts": np.zeros((B, sh.max_pano_len, m.image_feat_size), np.float32),
-                    "loc_fts": np.zeros((B, sh.max_pano_len, m.angle_feat_size + 3), np.float32),
-                    "nav_types": np.zeros((B, sh.max_pano_len), np.int32),
-                    "view_lens": np.full((B,), 4, np.int32),
-                },
-            )
+            lambda r: self.model.init(r, "panorama", pano_batch)
         )(jax.random.key(2))
 
         def merge(a, b):
@@ -174,6 +179,14 @@ class GMapNavAgent:
             "bev_cand_idxs": np.zeros((B, K), np.int32),
             "local_masks": np.ones((B, K), bool),
             "fuse_map": np.zeros((B, N, K), np.float32),
+            **(
+                {
+                    "obj_embeds": np.zeros((B, sh.max_objects, D), np.float32),
+                    "obj_masks": np.ones((B, sh.max_objects), bool),
+                }
+                if m.obj_feat_size > 0
+                else {}
+            ),
         }
 
     # ------------------------------------------------------------ jitted fns
@@ -228,19 +241,26 @@ class GMapNavAgent:
             deterministic=False, rngs={"dropout": rb["rng_lang"]},
         )
         flat = lambda x: x.reshape(T * B, *x.shape[2:])
+        pano_in = {
+            "view_fts": flat(rb["view_fts"]),
+            "loc_fts": flat(rb["loc_fts"]),
+            "nav_types": flat(rb["nav_types"]),
+            "view_lens": flat(rb["view_lens"]),
+        }
+        with_objects = "obj_fts" in rb
+        if with_objects:
+            pano_in["obj_fts"] = flat(rb["obj_fts"])
+            pano_in["obj_lens"] = flat(rb["obj_lens"])
         pano_embeds, pano_masks = model.apply(
-            {"params": params}, "panorama",
-            {
-                "view_fts": flat(rb["view_fts"]),
-                "loc_fts": flat(rb["loc_fts"]),
-                "nav_types": flat(rb["nav_types"]),
-                "view_lens": flat(rb["view_lens"]),
-            },
+            {"params": params}, "panorama", pano_in,
             deterministic=False, rngs={"dropout": rb["rng_pano"]},
         )
         D = pano_embeds.shape[-1]
-        tokens = (pano_embeds * pano_masks[..., None]).reshape(T, B, V, D)
-        tokens = jnp.transpose(tokens, (1, 0, 2, 3)).reshape(B, T * V, D)
+        P = pano_embeds.shape[1]  # view slots + object slots
+        tokens4d = (pano_embeds * pano_masks[..., None]).reshape(T, B, P, D)
+        tokens4d = jnp.transpose(tokens4d, (1, 0, 2, 3))  # (B, T, P, D)
+        tokens = tokens4d.reshape(B, T * P, D)
+        num_view_slots = rb["view_fts"].shape[2]
 
         def step_loss(carry, xs):
             gmap_img = jnp.einsum(
@@ -264,25 +284,41 @@ class GMapNavAgent:
                 "local_masks": xs["local_masks"],
                 "fuse_map": xs["fuse_map"],
             }
+            if with_objects:
+                step_tokens = jax.lax.dynamic_slice_in_dim(
+                    tokens4d, xs["step_idx"], 1, axis=1
+                )[:, 0]  # (B, P, D)
+                nav_in["obj_embeds"] = step_tokens[:, num_view_slots:]
+                nav_in["obj_masks"] = (
+                    jnp.arange(P - num_view_slots)[None, :]
+                    < xs["obj_lens"][:, None]
+                )
             outs = model.apply(
                 {"params": params}, "navigation", nav_in, deterministic=False,
                 rngs={"dropout": xs["rng"]},
             )
-            logits = outs["fused_logits"]
-            targets = xs["targets"]
-            valid = targets != IGNORE_ID
-            safe = jnp.where(valid, targets, 0)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+
+            def masked_ce(logits, targets):
+                valid = targets != IGNORE_ID
+                safe = jnp.where(valid, targets, 0)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+                return jnp.where(valid, nll, 0.0).sum()
+
             # sum-reduction CE with ignore_index (ref agent_base criterion)
-            return carry + jnp.where(valid, nll, 0.0).sum(), None
+            loss = masked_ce(outs["fused_logits"], xs["targets"])
+            if with_objects:
+                loss = loss + masked_ce(outs["obj_logits"], xs["obj_targets"])
+            return carry + loss, None
 
         xs_keys = [
             "gmap_agg", "gmap_step_ids", "gmap_pos_fts", "gmap_masks",
             "gmap_pair_dists", "gmap_visited_masks", "bev_fts", "bev_pos_fts",
             "bev_nav_masks", "bev_cand_idxs", "local_masks", "fuse_map",
-            "targets", "rng",
+            "targets", "rng", "step_idx",
         ]
+        if with_objects:
+            xs_keys += ["obj_lens", "obj_targets"]
         xs = {k: rb[k] for k in xs_keys}
         total, _ = jax.lax.scan(step_loss, jnp.zeros((), jnp.float32), xs)
         return total * self.cfg.ml_weight / B
@@ -301,16 +337,25 @@ class GMapNavAgent:
             masks[i, : len(enc)] = True
         return {"txt_ids": ids, "txt_masks": masks}
 
+    @property
+    def with_objects(self) -> bool:
+        return self.cfg.model.obj_feat_size > 0
+
     def _panorama_variable(self, obs):
-        """(ref _panorama_feature_variable, agent.py:70-113) static V slots."""
+        """(ref _panorama_feature_variable, agent.py:70-113; object slots per
+        reverie/agent_obj.py) static slots: views [0:V), objects [V:V+O)."""
         sh, m = self.cfg.shapes, self.cfg.model
         B, V = len(obs), sh.max_pano_len
+        O = sh.max_objects if self.with_objects else 0
         A = m.angle_feat_size
         view_fts = np.zeros((B, V, m.image_feat_size), np.float32)
-        loc_fts = np.zeros((B, V, A + 3), np.float32)
-        nav_types = np.zeros((B, V), np.int32)
+        loc_fts = np.zeros((B, V + O, A + 3), np.float32)
+        nav_types = np.zeros((B, V + O), np.int32)
         view_lens = np.zeros(B, np.int32)
         cand_vpids: List[List[str]] = []
+        obj_fts = np.zeros((B, O, m.obj_feat_size), np.float32) if O else None
+        obj_lens = np.zeros(B, np.int32) if O else None
+        obj_ids: List[List[str]] = []
         for i, ob in enumerate(obs):
             used = set()
             k = 0
@@ -335,10 +380,25 @@ class GMapNavAgent:
                 k += 1
             view_lens[i] = k
             cand_vpids.append(cands)
-        return {
+            if O:
+                n_obj = min(len(ob.get("obj_ids", [])), O)
+                if n_obj:
+                    obj_fts[i, :n_obj] = ob["obj_img_fts"][:n_obj, : m.obj_feat_size]
+                    loc_fts[i, V : V + n_obj, :A] = ob["obj_ang_fts"][:n_obj]
+                    loc_fts[i, V : V + n_obj, A:] = ob["obj_box_fts"][:n_obj]
+                    nav_types[i, V : V + n_obj] = 2
+                obj_lens[i] = n_obj
+                obj_ids.append(list(ob.get("obj_ids", []))[:O])
+            else:
+                obj_ids.append([])
+        out = {
             "view_fts": view_fts, "loc_fts": loc_fts, "nav_types": nav_types,
             "view_lens": view_lens,
-        }, cand_vpids
+        }
+        if O:
+            out["obj_fts"] = obj_fts
+            out["obj_lens"] = obj_lens
+        return out, cand_vpids, obj_ids
 
     def lift(self, obs):
         """World point clouds from the 12 agent-relative camera grids
@@ -363,12 +423,17 @@ class GMapNavAgent:
         )
         return np.asarray(pc), np.asarray(~no_depth), feats
 
+    @property
+    def num_pano_slots(self) -> int:
+        sh = self.cfg.shapes
+        return sh.max_pano_len + (sh.max_objects if self.with_objects else 0)
+
     def _nav_gmap_variable(self, obs, gmaps, pano_store):
         """Global-map tensors + aggregation matrix + node embeds for the
         policy (ref _nav_gmap_variable, agent.py:194-267)."""
         sh, m = self.cfg.shapes, self.cfg.model
         B, N = len(obs), sh.max_gmap_len
-        V = sh.max_pano_len
+        V = self.num_pano_slots
         T = self.cfg.max_action_len
         A = m.angle_feat_size
         out = {
@@ -404,6 +469,7 @@ class GMapNavAgent:
                     d = gmap.graph.distance(vpids[a], vpids[b]) / 30.0
                     out["gmap_pair_dists"][i, a, b] = d
                     out["gmap_pair_dists"][i, b, a] = d
+            n_view_slots = self.cfg.shapes.max_pano_len
             for node, vp in enumerate(vpids):
                 if vp is None:
                     continue
@@ -413,10 +479,16 @@ class GMapNavAgent:
                 w = 1.0 / len(refs)
                 for (t, slot, _wt) in refs:
                     if slot == -1:
-                        lens = pano_store["view_lens"][t][i]
-                        out["gmap_agg"][i, node, t * V : t * V + lens] += (
-                            w / max(lens, 1)
-                        )
+                        # visited: masked mean over ALL tokens of that step's
+                        # pano (views + objects; ref avg_pano_embeds,
+                        # agent.py:489-490)
+                        vl = int(pano_store["view_lens"][t][i])
+                        ol = int(pano_store["obj_lens"][t][i]) if self.with_objects else 0
+                        total = max(vl + ol, 1)
+                        out["gmap_agg"][i, node, t * V : t * V + vl] += w / total
+                        if ol:
+                            base = t * V + n_view_slots
+                            out["gmap_agg"][i, node, base : base + ol] += w / total
                     else:
                         out["gmap_agg"][i, node, t * V + slot] += w
         return out
@@ -556,6 +628,19 @@ class GMapNavAgent:
             a[i] = best_j
         return a
 
+    def _teacher_object(self, obs, ended, obj_ids):
+        """Ground-truth object index at goal viewpoints
+        (ref _teacher_object, reverie/agent_obj.py:384-401)."""
+        targets = np.full(len(obs), IGNORE_ID, np.int64)
+        for i, ob in enumerate(obs):
+            if ended[i] or ob["viewpoint"] not in ob.get("gt_end_vps", []):
+                continue
+            for j, oid in enumerate(obj_ids[i]):
+                if str(oid) == str(ob.get("gt_obj_id")):
+                    targets[i] = j
+                    break
+        return targets
+
     # --------------------------------------------------------------- rollout
     def rollout(self, feedback: str = "sample", train: bool = True):
         cfg = self.cfg
@@ -567,7 +652,8 @@ class GMapNavAgent:
         for i, ob in enumerate(obs):
             gmaps[i].update_graph(ob)
         traj = [
-            {"instr_id": ob["instr_id"], "path": [[ob["viewpoint"]]]}
+            {"instr_id": ob["instr_id"], "path": [[ob["viewpoint"]]],
+             "pred_objid": None}
             for ob in obs
         ]
         lang = self._language_variable(obs)
@@ -575,7 +661,7 @@ class GMapNavAgent:
 
         ended = np.zeros(B, bool)
         just_ended = np.zeros(B, bool)
-        pano_store = {"view_lens": {}, "embeds": {}}
+        pano_store = {"view_lens": {}, "obj_lens": {}, "embeds": {}}
         pc_store = {"pc": {}, "valid": {}, "feats": {}}
         records: List[StepRecord] = []
 
@@ -584,10 +670,12 @@ class GMapNavAgent:
                 if not ended[i]:
                     gmap.node_step_ids[obs[i]["viewpoint"]] = t + 1
 
-            pano_in, cand_vpids = self._panorama_variable(obs)
+            pano_in, cand_vpids, obj_ids = self._panorama_variable(obs)
             pano_embeds, pano_masks = self._fn("panorama")(self.params, pano_in)
             pano_np = np.asarray(pano_embeds)
             pano_store["view_lens"][t] = pano_in["view_lens"]
+            if self.with_objects:
+                pano_store["obj_lens"][t] = pano_in["obj_lens"]
             pano_store["embeds"][t] = pano_np
 
             pc, pc_valid, pc_feats = self.lift(obs)
@@ -630,6 +718,13 @@ class GMapNavAgent:
                 "local_masks": nav_b["local_masks"],
                 "fuse_map": fuse_map,
             }
+            if self.with_objects:
+                V = self.cfg.shapes.max_pano_len
+                O = self.cfg.shapes.max_objects
+                nav_in["obj_embeds"] = pano_np[:, V : V + O]
+                nav_in["obj_masks"] = (
+                    np.arange(O)[None, :] < pano_in["obj_lens"][:, None]
+                )
             nav_outs = self._fn("navigation")(self.params, nav_in)
             nav_logits = np.asarray(nav_outs["fused_logits"])
             nav_vpids = nav_g["gmap_vpids"]
@@ -640,15 +735,23 @@ class GMapNavAgent:
 
             for i, gmap in enumerate(gmaps):
                 if not ended[i]:
-                    gmap.node_stop_scores[obs[i]["viewpoint"]] = float(
-                        nav_probs[i, 0]
-                    )
+                    vp = obs[i]["viewpoint"]
+                    gmap.node_stop_scores[vp] = float(nav_probs[i, 0])
+                    if self.with_objects and obj_ids[i]:
+                        ol = np.asarray(nav_outs["obj_logits"])[i]
+                        gmap.node_og[vp] = obj_ids[i][
+                            int(ol[: len(obj_ids[i])].argmax())
+                        ]
 
             targets = self._teacher_action(
                 obs, nav_vpids, ended,
                 visited_masks=nav_g["gmap_visited_masks"],
                 imitation_learning=(feedback == "teacher"), t=t, traj=traj,
             )
+
+            obj_targets = None
+            if self.with_objects:
+                obj_targets = self._teacher_object(obs, ended, obj_ids)
 
             if train:
                 records.append(
@@ -671,6 +774,10 @@ class GMapNavAgent:
                         fuse_map=fuse_map,
                         bev_pos_fts=nav_b["bev_pos_fts"],
                         targets=np.where(ended, IGNORE_ID, targets),
+                        step_idx=t,
+                        obj_fts=pano_in.get("obj_fts"),
+                        obj_lens=pano_in.get("obj_lens"),
+                        obj_targets=obj_targets,
                     )
                 )
 
@@ -721,6 +828,8 @@ class GMapNavAgent:
                         traj[i]["path"].append(
                             gmaps[i].graph.path(obs[i]["viewpoint"], stop_node)
                         )
+                    if self.with_objects and stop_node is not None:
+                        traj[i]["pred_objid"] = gmaps[i].node_og.get(stop_node)
 
             obs = self.env.get_obs()
             for i, ob in enumerate(obs):
@@ -736,8 +845,7 @@ class GMapNavAgent:
         return traj, loss
 
     def _policy_node_embeds(self, gmap_agg, pano_store, B):
-        sh = self.cfg.shapes
-        V = sh.max_pano_len
+        V = self.num_pano_slots
         T = self.cfg.max_action_len
         D = self.cfg.model.hidden_size
         tokens = np.zeros((B, T * V, D), np.float32)
@@ -792,6 +900,16 @@ class GMapNavAgent:
         rb["targets"] = np.stack(tgt)
         rb["txt_ids"] = lang["txt_ids"]
         rb["txt_masks"] = lang["txt_masks"]
+        rb["step_idx"] = np.arange(T, dtype=np.int32)
+        if self.with_objects:
+            for attr, fill in (("obj_fts", 0.0), ("obj_lens", 0), ("obj_targets", IGNORE_ID)):
+                arrs = [np.asarray(getattr(r, attr)) for r in records]
+                pad_arr = (
+                    np.full_like(arrs[0], fill)
+                    if attr == "obj_targets" else np.zeros_like(arrs[0])
+                )
+                arrs += [pad_arr] * (T - len(arrs))
+                rb[attr] = np.stack(arrs)
         self.rng, sub = jax.random.split(self.rng)
         keys = jax.random.split(sub, T + 2)
         rb["rng"] = keys[:T]
@@ -821,12 +939,17 @@ class GMapNavAgent:
                 if tr["instr_id"] in results:
                     looped = True
                 else:
-                    results[tr["instr_id"]] = tr["path"]
+                    results[tr["instr_id"]] = tr
             n += 1
             if looped or (max_batches and n >= max_batches):
                 break
         return [
-            {"instr_id": k, "trajectory": v} for k, v in results.items()
+            {
+                "instr_id": k,
+                "trajectory": v["path"],
+                "pred_objid": v.get("pred_objid"),
+            }
+            for k, v in results.items()
         ]
 
     def train_iters(self, n_iters: int, feedback: str = "sample"):

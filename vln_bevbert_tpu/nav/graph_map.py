@@ -100,6 +100,7 @@ class GraphMap:
         self.node_pc_step: Dict[str, int] = {}
         self.node_step_ids: Dict[str, int] = {}
         self.node_stop_scores: Dict[str, float] = {}
+        self.node_og: Dict[str, Optional[str]] = {}  # predicted objid per node
 
     # ------------------------------------------------------------- structure
     def update_graph(self, ob: dict):
