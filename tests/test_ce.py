@@ -1,0 +1,181 @@
+"""Continuous-environment (R2R-CE) stack tests: habitat-convention geometry,
+ghost-node graph map, waypoint predictor, synthetic env, SS rollout."""
+
+import math
+
+import numpy as np
+import pytest
+
+from vln_bevbert_tpu.ce.env import (
+    CEEpisode,
+    SyntheticContinuousEnv,
+    make_synthetic_ce_episodes,
+)
+from vln_bevbert_tpu.ce.geometry_ce import (
+    estimate_cand_pos,
+    heading_from_quaternion,
+    quaternion_from_heading,
+)
+from vln_bevbert_tpu.ce.graph_map import CEGraphMap
+from vln_bevbert_tpu.ce.waypoint_predictor import (
+    NUM_ANGLES,
+    NUM_CLASSES,
+    WaypointPredictor,
+    extract_waypoints,
+    nms_peaks,
+    ring_neighbor_bias,
+)
+from vln_bevbert_tpu.configs import FinetuneConfig, ModelConfig, ShapeConfig
+
+
+def test_quaternion_heading_roundtrip():
+    for h in [0.0, 0.5, math.pi, 5.5]:
+        q = quaternion_from_heading(h)
+        assert heading_from_quaternion(q) == pytest.approx(h % (2 * math.pi), abs=1e-6)
+
+
+def test_estimate_cand_pos():
+    pos = np.array([1.0, 0.0, 2.0])
+    ori = quaternion_from_heading(0.0)
+    # heading 0 faces -z: a candidate at relative angle 0, distance 2 is at z-2
+    out = estimate_cand_pos(pos, ori, [0.0], [2.0])
+    np.testing.assert_allclose(out[0], [1.0, 0.0, 0.0], atol=1e-6)
+    # relative angle pi/2 (counter-clockwise in habitat) -> -x direction
+    out = estimate_cand_pos(pos, ori, [math.pi / 2], [2.0])
+    np.testing.assert_allclose(out[0], [-1.0, 0.0, 2.0], atol=1e-6)
+
+
+def test_ghost_graph_map_merge_and_fronts():
+    g = CEGraphMap(loc_noise=0.5, merge_ghost=True)
+    ori = quaternion_from_heading(0.0)
+    pos0 = np.array([0.0, 0.0, 0.0])
+    cur, cand_vp, cand_pos = g.identify_node(pos0, ori, [0.0, math.pi], [2.0, 2.0])
+    assert cur == "0" and len(cand_pos) == 2
+    assigns = g.update_graph(None, 1, cur, pos0, None, cand_vp, cand_pos,
+                             [np.ones(4), np.ones(4)])
+    assert all(a.startswith("g") for a in assigns)
+    assert len(g.ghost_mean_pos) == 2
+    # revisit from a new node: a candidate near ghost 0 merges into it
+    pos1 = np.array([0.5, 0.0, 0.0])
+    cur1, cvp1, cpos1 = g.identify_node(pos1, ori, [0.3], [1.9])
+    assigns1 = g.update_graph(cur, 2, cur1, pos1, None, cvp1, cpos1, [np.ones(4)])
+    total_sightings = sum(g.ghost_embeds[gv][1] for gv in g.ghost_embeds)
+    assert total_sightings == 3
+    # fronts recorded; front_to_ghost_dist returns a real node
+    for gvp in g.ghost_mean_pos:
+        d, front = g.front_to_ghost_dist(gvp)
+        assert front in g.node_pos and d > 0
+    # a candidate landing on an existing node connects instead of ghosting
+    pos2 = np.array([4.0, 0.0, 0.0])
+    cur2, cvp2, cpos2 = g.identify_node(pos2, ori, [math.pi / 2], [4.0])
+    assigns2 = g.update_graph(cur1, 3, cur2, pos2, None, cvp2, cpos2, [np.ones(4)])
+    assert assigns2[0] == "0"  # candidate at origin localises to node 0
+    assert g.graph.distance(cur2, "0") <= 4.01
+
+
+def test_ring_neighbor_bias():
+    b = ring_neighbor_bias(12, 1)[0, 0]
+    assert b[0, 0] == 0 and b[0, 1] == 0 and b[0, 11] == 0
+    assert b[0, 2] < -9999 and b[5, 9] < -9999
+
+
+def test_nms_peaks_and_extract():
+    heat = np.full((1, NUM_ANGLES, NUM_CLASSES), -10.0, np.float32)
+    heat[0, 10, 3] = 5.0
+    heat[0, 60, 8] = 4.0
+    heat[0, 11, 3] = 4.5  # should be suppressed (within sigma of peak 1)
+    angles, dists, scores = extract_waypoints(heat, max_candidates=2)
+    a = np.sort(np.degrees(angles[0]))
+    assert len(a) == 2
+    assert a[0] == pytest.approx(30.0, abs=1e-5)   # bin 10 * 3deg
+    assert a[1] == pytest.approx(180.0, abs=1e-5)  # bin 60 * 3deg
+    assert 0.25 + 3 * 0.25 in np.round(dists[0], 3)
+
+
+def test_waypoint_predictor_shapes():
+    import jax
+
+    cfg = ModelConfig(hidden_size=32, num_attention_heads=2,
+                      intermediate_size=64, dtype="float32")
+    model = WaypointPredictor(cfg, depth_feat_size=4 * 2 * 2)
+    x = np.random.default_rng(0).normal(size=(2 * 12, 4, 2, 2)).astype(np.float32)
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, NUM_ANGLES, NUM_CLASSES)
+
+
+TINY = ModelConfig(
+    vocab_size=30522, hidden_size=32, num_attention_heads=2, intermediate_size=64,
+    num_l_layers=1, num_pano_layers=1, num_x_layers=1, image_feat_size=16,
+    obj_feat_size=0, bev_grid_feat_size=12, bev_dim=5, bev_res=1.5,
+    dtype="float32",
+)
+SHAPES = ShapeConfig(
+    max_txt_len=64, max_steps=5, max_pano_len=20, max_gmap_len=16,
+    max_local_len=8, max_objects=0, num_views=12, grid_hw=4, max_pc_steps=3,
+)
+
+
+@pytest.fixture(scope="module")
+def ce_world():
+    rng = np.random.default_rng(3)
+    episodes = make_synthetic_ce_episodes(rng, n=6)
+    env = SyntheticContinuousEnv(
+        episodes, batch_size=2, num_views=12, grid_hw=4,
+        grid_feat_size=TINY.bev_grid_feat_size,
+        view_feat_size=TINY.image_feat_size,
+        depth_feat_shape=(4, 2, 2),
+    )
+    from vln_bevbert_tpu.ce.agent import CEAgent
+
+    cfg = FinetuneConfig(model=TINY, shapes=SHAPES, batch_size=2,
+                         max_action_len=4, learning_rate=1e-3)
+    agent = CEAgent(cfg, env)
+    agent.init_params()
+    return env, agent
+
+
+def test_ce_env_determinism(ce_world):
+    env, _ = ce_world
+    env.reset_epoch()
+    obs1 = env.reset()
+    f1 = obs1[0]["rgb"].copy()
+    env.reset_epoch()
+    obs2 = env.reset()
+    np.testing.assert_array_equal(f1, obs2[0]["rgb"])
+    env.teleport(0, obs1[0]["position"] + [1, 0, 0])
+    obs3 = env.observations()
+    assert not np.array_equal(f1, obs3[0]["rgb"])
+
+
+def test_ce_teacher_rollout_learns(ce_world):
+    env, agent = ce_world
+    trajs, loss = agent.rollout(feedback="teacher", train=True)
+    assert loss is not None and np.isfinite(loss)
+    assert all(len(t["positions"]) >= 1 for t in trajs)
+
+
+def test_ce_scheduled_sampling_and_eval(ce_world):
+    env, agent = ce_world
+    _, loss = agent.rollout(feedback="sample", train=True, sample_ratio=0.75)
+    assert loss is not None and np.isfinite(loss)
+    metrics = agent.evaluate(num_batches=1)
+    for k in ("success", "spl", "ndtw", "distance_to_goal", "oracle_success"):
+        assert k in metrics and np.isfinite(metrics[k])
+
+
+def test_ce_teacher_reaches_goal(ce_world):
+    """Following the oracle teacher in the open plane must bring the agent
+    close to the goal (waypoints permitting) far more often than not."""
+    env, agent = ce_world
+    env.reset_epoch()
+    d2g = []
+    for _ in range(2):
+        trajs, _ = agent.rollout(feedback="teacher", train=False)
+        for i, tr in enumerate(trajs):
+            d_start = float(np.linalg.norm(
+                np.asarray(env.batch[i].start_pos) - env.batch[i].goal))
+            d_end = env.dist_to_goal(i, tr["positions"][-1])
+            d2g.append((d_start, d_end))
+    improved = sum(1 for s, e in d2g if e < s or e < 3.0)
+    assert improved >= len(d2g) // 2, d2g

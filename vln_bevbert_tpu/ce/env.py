@@ -1,0 +1,214 @@
+"""Continuous-environment interface + synthetic simulator.
+
+The reference runs habitat-sim in subprocess VectorEnvs with oracle RPC calls
+(/root/reference/bevbert_ce/vlnce_baselines/common/environments.py:44-520,
+common/env_utils.py:35-126). Habitat is a host-side C++ dependency that is
+not part of the TPU compute path; this module defines the narrow surface the
+trainer needs (``ContinuousEnvBatch``) and a synthetic open-plane
+implementation of it, so the full CE pipeline is runnable and testable here.
+A real habitat binding implements the same surface: reset/observations,
+teleport-style stepping, and the oracle queries (distance-to-goal from
+arbitrary positions) used by the scheduled-sampling teacher
+(ss_trainer_BEV.py:317-345).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .geometry_ce import heading_from_quaternion, quaternion_from_heading
+
+SUCCESS_DISTANCE = 3.0
+
+
+@dataclass
+class CEEpisode:
+    episode_id: str
+    instr_encoding: np.ndarray
+    start_pos: np.ndarray            # (3,)
+    start_heading: float
+    gt_positions: np.ndarray         # (T, 3) reference path positions
+    goal: np.ndarray                 # (3,)
+
+
+class SyntheticContinuousEnv:
+    """Open-plane world: geodesic == euclidean; per-pose sensor features are
+    deterministic functions of (episode, position) so rollouts are
+    reproducible. One instance manages B episode slots (the reference's
+    VectorEnv role)."""
+
+    def __init__(
+        self,
+        episodes: Sequence[CEEpisode],
+        batch_size: int = 2,
+        num_views: int = 12,
+        grid_hw: int = 14,
+        grid_feat_size: int = 768,
+        view_feat_size: int = 512,
+        depth_feat_shape=(128, 4, 4),
+        seed: int = 0,
+    ):
+        self.episodes = list(episodes)
+        self.batch_size = batch_size
+        self.num_views = num_views
+        self.grid_hw = grid_hw
+        self.grid_feat_size = grid_feat_size
+        self.view_feat_size = view_feat_size
+        self.depth_feat_shape = depth_feat_shape
+        self.rng = np.random.default_rng(seed)
+        self.ix = 0
+        self.batch: List[CEEpisode] = []
+        self.positions = np.zeros((batch_size, 3))
+        self.headings = np.zeros(batch_size)
+        self.active = np.zeros(batch_size, bool)
+
+    def size(self) -> int:
+        return len(self.episodes)
+
+    def reset_epoch(self):
+        self.ix = 0
+
+    def reset(self) -> List[dict]:
+        batch = self.episodes[self.ix : self.ix + self.batch_size]
+        if len(batch) < self.batch_size:
+            self.ix = self.batch_size - len(batch)
+            batch = batch + self.episodes[: self.ix]
+        else:
+            self.ix += self.batch_size
+        self.batch = batch
+        for i, ep in enumerate(batch):
+            self.positions[i] = ep.start_pos
+            self.headings[i] = ep.start_heading
+            self.active[i] = True
+        return self.observations()
+
+    # ----------------------------------------------------------- observations
+    def _pose_rng(self, slot: int, salt: int = 0) -> np.random.Generator:
+        ep = self.batch[slot]
+        key = hash(
+            (ep.episode_id, round(float(self.positions[slot][0]), 1),
+             round(float(self.positions[slot][2]), 1), salt)
+        ) & 0x7FFFFFFF
+        return np.random.default_rng(key)
+
+    def observations(self) -> List[dict]:
+        out = []
+        for i, ep in enumerate(self.batch):
+            r = self._pose_rng(i)
+            hw = self.grid_hw
+            obs = {
+                "episode_id": ep.episode_id,
+                "instr_id": ep.episode_id,
+                "instr_encoding": ep.instr_encoding,
+                "position": self.positions[i].copy(),
+                "heading": float(self.headings[i]),
+                "orientation": quaternion_from_heading(float(self.headings[i])),
+                "view_fts": r.normal(
+                    size=(self.num_views, self.view_feat_size)
+                ).astype(np.float32),
+                "rgb": r.normal(
+                    size=(self.num_views, hw * hw, self.grid_feat_size)
+                ).astype(np.float32),
+                "depth": r.uniform(
+                    0.05, 0.9, (self.num_views, hw, hw)
+                ).astype(np.float32),
+                "depth_features": r.normal(
+                    size=(self.num_views, *self.depth_feat_shape)
+                ).astype(np.float32),
+                "gt_path": ep.gt_positions,
+                "goal": ep.goal,
+            }
+            out.append(obs)
+        return out
+
+    # ----------------------------------------------------------------- action
+    def teleport(self, slot: int, position, heading: Optional[float] = None):
+        self.positions[slot] = np.asarray(position, np.float64)
+        if heading is not None:
+            self.headings[slot] = heading % (2 * math.pi)
+
+    def stop(self, slot: int):
+        self.active[slot] = False
+
+    # ----------------------------------------------------------------- oracle
+    def geodesic(self, slot: int, a, b) -> float:
+        """Open plane: geodesic == euclidean. A habitat binding forwards to
+        sim.geodesic_distance (ref environments.py:108-121)."""
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return float(np.linalg.norm(a - b))
+
+    def dist_to_goal(self, slot: int, position=None) -> float:
+        pos = self.positions[slot] if position is None else position
+        return self.geodesic(slot, pos, self.batch[slot].goal)
+
+    # ------------------------------------------------------------------- eval
+    def eval_episode(self, slot: int, walked: np.ndarray) -> Dict[str, float]:
+        """Positions-based CE metrics (ref ss_trainer_BEV.py:1184-1209 and
+        habitat_extensions/measures.py NDTW exp(-dtw/(len*3)))."""
+        ep = self.batch[slot]
+        walked = np.asarray(walked, np.float64)
+        gt = np.asarray(ep.gt_positions, np.float64)
+        d2g = self.dist_to_goal(slot, walked[-1])
+        path_len = float(
+            np.sum(np.linalg.norm(np.diff(walked, axis=0), axis=1))
+        ) if len(walked) > 1 else 0.0
+        gt_len = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
+        success = float(d2g < SUCCESS_DISTANCE)
+        oracle = float(
+            min(self.dist_to_goal(slot, p) for p in walked) < SUCCESS_DISTANCE
+        )
+        # DTW over positions
+        n, m = len(walked), len(gt)
+        acc = np.full((n + 1, m + 1), np.inf)
+        acc[0, 0] = 0
+        for a in range(1, n + 1):
+            for b in range(1, m + 1):
+                cost = float(np.linalg.norm(walked[a - 1] - gt[b - 1]))
+                acc[a, b] = cost + min(acc[a - 1, b], acc[a, b - 1], acc[a - 1, b - 1])
+        ndtw = math.exp(-acc[n, m] / (m * SUCCESS_DISTANCE))
+        return {
+            "distance_to_goal": d2g,
+            "success": success,
+            "oracle_success": oracle,
+            "path_length": path_len,
+            "spl": success * gt_len / max(path_len, gt_len, 0.01),
+            "ndtw": ndtw,
+            "sdtw": success * ndtw,
+            "steps_taken": float(len(walked) - 1),
+        }
+
+
+def make_synthetic_ce_episodes(
+    rng: np.random.Generator, n: int = 8, extent: float = 10.0,
+    txt_len=(10, 30), vocab_range=(1996, 29611),
+) -> List[CEEpisode]:
+    out = []
+    for i in range(n):
+        n_wp = int(rng.integers(3, 6))
+        pts = np.zeros((n_wp, 3))
+        pts[0, [0, 2]] = rng.uniform(0, extent, 2)
+        for k in range(1, n_wp):
+            step = rng.uniform(1.5, 3.0)
+            ang = rng.uniform(0, 2 * math.pi)
+            pts[k] = pts[k - 1] + np.array(
+                [step * math.sin(ang), 0.0, step * math.cos(ang)]
+            )
+        enc = [101] + list(
+            rng.integers(vocab_range[0], vocab_range[1], int(rng.integers(*txt_len)))
+        ) + [102]
+        out.append(
+            CEEpisode(
+                episode_id=f"ce_{i}",
+                instr_encoding=np.asarray(enc),
+                start_pos=pts[0].copy(),
+                start_heading=float(rng.uniform(0, 2 * math.pi)),
+                gt_positions=pts,
+                goal=pts[-1].copy(),
+            )
+        )
+    return out
