@@ -1,0 +1,112 @@
+"""Continuous-environment (R2R-CE) training CLI — role of
+/root/reference/bevbert_ce/run.py + run_r2r/main.bash: scheduled-sampling
+SS-BEV training with ratio decay, periodic evaluation, checkpointing.
+
+Runs on the synthetic ContinuousEnv by default; a habitat binding plugs in by
+constructing any object with the SyntheticContinuousEnv surface and passing
+it to CEAgent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None)
+    p.add_argument("--output_dir", default="runs/ce")
+    p.add_argument("--iters", type=int, default=10000)
+    p.add_argument("--log_every", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--sample_ratio", type=float, default=0.75)
+    p.add_argument("--decay_interval", type=int, default=2000)
+    p.add_argument("--n_episodes", type=int, default=64)
+    p.add_argument("--pretrain_ckpt", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import numpy as np
+
+    from ..ce.agent import CEAgent
+    from ..ce.env import SyntheticContinuousEnv, make_synthetic_ce_episodes
+    from ..configs import FinetuneConfig, load_config
+    from ..utils.logging import MetricLogger
+
+    args = parse_args(argv)
+    overrides = {"seed": args.seed, "output_dir": args.output_dir}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    cfg = load_config(FinetuneConfig, args.config, **overrides)
+    # CE defaults: 11x11 BEV at 1m (ref ss_trainer_BEV.py:204-218)
+    if cfg.model.bev_dim == 21:
+        cfg.model.bev_dim = 11
+        cfg.model.bev_res = 1.0
+
+    rng = np.random.default_rng(cfg.seed)
+    episodes = make_synthetic_ce_episodes(rng, n=args.n_episodes)
+    env = SyntheticContinuousEnv(
+        episodes, batch_size=cfg.batch_size,
+        grid_hw=cfg.shapes.grid_hw,
+        grid_feat_size=cfg.model.bev_grid_feat_size,
+        view_feat_size=cfg.model.image_feat_size,
+        seed=cfg.seed,
+    )
+    agent = CEAgent(cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio)
+    pretrained = None
+    if args.pretrain_ckpt:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            pretrained = ckptr.restore(os.path.abspath(args.pretrain_ckpt))["params"]
+    agent.init_params(pretrained_params=pretrained)
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    logger = MetricLogger(cfg.output_dir)
+
+    if args.test:
+        metrics = agent.evaluate(num_batches=4)
+        logger.log(0, {f"eval/{k}": v for k, v in metrics.items()})
+        return
+
+    ratio = args.sample_ratio
+    done = 0
+    while done < args.iters:
+        n = min(args.log_every, args.iters - done)
+        losses = []
+        for _ in range(n):
+            _, loss = agent.rollout(
+                feedback="sample", train=True, sample_ratio=ratio
+            )
+            if loss is not None:
+                losses.append(loss)
+        done += n
+        # scheduled-sampling ratio decay (ref ss_trainer_BEV.py:659-674)
+        if args.decay_interval and done % args.decay_interval == 0:
+            ratio /= 2.0
+        metrics = agent.evaluate(num_batches=2)
+        logger.log(
+            done,
+            {
+                "train/loss": float(np.mean(losses)) if losses else float("nan"),
+                "train/sample_ratio": ratio,
+                **{f"eval/{k}": v for k, v in metrics.items()},
+            },
+        )
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.abspath(os.path.join(cfg.output_dir, f"ckpt_{done}")),
+                {"params": agent.params, "opt_state": agent.opt_state},
+                force=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -171,6 +171,8 @@ class FinetuneConfig:
     max_action_len: int = 15
     max_instr_len: int = 200
     expert_policy: str = "spl"     # {spl, ndtw}
+    fusion: str = "avg"            # {avg(fused), global, local} — 'global'
+                                   # is the topo-only (ETP-style) variant
     pc_order: int = 1              # hops of neighbour point clouds kept in BEV
     loss_nav_3: bool = True        # global+local+fused CE, as reference
     grad_norm: float = 5.0

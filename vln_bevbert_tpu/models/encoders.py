@@ -74,6 +74,13 @@ class ImageEmbeddings(nn.Module):
             self.obj_linear = None
         # 0: non-navigable view, 1: navigable view, 2: object
         self.nav_type_embedding = embed(cfg, 3, name="nav_type_embedding")
+        if cfg.use_depth_embedding:
+            # CE variant: 128-d DDPPO depth features added per token
+            # (ref bevbert_ce/vlnce_baselines/models/bev/vilmodel_cmt.py:462-466)
+            self.dep_linear = dense(cfg, cfg.hidden_size, name="dep_linear")
+            self.dep_ln = layer_norm(cfg, name="dep_ln")
+        else:
+            self.dep_linear = None
         self.ln = layer_norm(cfg, name="ln")
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
         self.pano_layers = [
@@ -90,6 +97,7 @@ class ImageEmbeddings(nn.Module):
         view_lens,         # (R,)
         obj_fts=None,      # (R, O, Dobj)
         obj_lens=None,     # (R,)
+        dep_fts=None,      # (R, V+O, Ddep) CE depth embedding input
         token_type_vis=None,  # (hidden,)
         *,
         deterministic: bool = True,
@@ -110,6 +118,8 @@ class ImageEmbeddings(nn.Module):
             + self.loc_ln(self.loc_linear(loc_fts)).astype(_dt(cfg))
             + self.nav_type_embedding(nav_types)
         )
+        if self.dep_linear is not None and dep_fts is not None:
+            x = x + self.dep_ln(self.dep_linear(dep_fts)).astype(_dt(cfg))
         if token_type_vis is not None:
             x = x + token_type_vis.astype(_dt(cfg))[None, None, :]
         x = self.ln(x).astype(_dt(cfg))

@@ -51,13 +51,14 @@ class GlocalTextPathNavCMT(nn.Module):
 
     def forward_panorama_per_step(
         self, view_fts, loc_fts, nav_types, view_lens,
-        obj_fts=None, obj_lens=None, *, deterministic=True,
+        obj_fts=None, obj_lens=None, dep_fts=None, *, deterministic=True,
     ):
         """Single-step pano encoding (B, V/P, ...) -> (pano_embeds, pano_masks)
-        (ref vilmodel.py:750-794)."""
+        (ref vilmodel.py:750-794; CE adds the depth embedding,
+        vilmodel_cmt.py:737-743)."""
         return self.bert.img_embeddings(
             view_fts, loc_fts, nav_types, view_lens,
-            obj_fts=obj_fts, obj_lens=obj_lens,
+            obj_fts=obj_fts, obj_lens=obj_lens, dep_fts=dep_fts,
             token_type_vis=self.bert.embeddings.token_type_embeddings.embedding[1],
             deterministic=deterministic,
         )
@@ -137,7 +138,7 @@ class GlocalTextPathNavCMT(nn.Module):
             return self.forward_panorama_per_step(
                 batch["view_fts"], batch["loc_fts"], batch["nav_types"],
                 batch["view_lens"], batch.get("obj_fts"), batch.get("obj_lens"),
-                deterministic=deterministic,
+                batch.get("dep_fts"), deterministic=deterministic,
             )
         if mode == "navigation":
             return self.forward_navigation_per_step(batch, deterministic=deterministic)

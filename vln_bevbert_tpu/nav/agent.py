@@ -305,8 +305,14 @@ class GMapNavAgent:
                 nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
                 return jnp.where(valid, nll, 0.0).sum()
 
-            # sum-reduction CE with ignore_index (ref agent_base criterion)
-            loss = masked_ce(outs["fused_logits"], xs["targets"])
+            # sum-reduction CE with ignore_index (ref agent_base criterion);
+            # the supervised head follows the fusion selection (agent.py:555)
+            logits_key = {
+                "avg": "fused_logits",
+                "global": "global_logits",
+                "local": "local_logits",
+            }[self.cfg.fusion]
+            loss = masked_ce(outs[logits_key], xs["targets"])
             if with_objects:
                 loss = loss + masked_ce(outs["obj_logits"], xs["obj_targets"])
             return carry + loss, None
@@ -726,8 +732,17 @@ class GMapNavAgent:
                     np.arange(O)[None, :] < pano_in["obj_lens"][:, None]
                 )
             nav_outs = self._fn("navigation")(self.params, nav_in)
-            nav_logits = np.asarray(nav_outs["fused_logits"])
-            nav_vpids = nav_g["gmap_vpids"]
+            # fusion selection (ref agent.py:516-524): fused/global score the
+            # map nodes; 'local' scores the current candidates only
+            if self.cfg.fusion == "local":
+                nav_logits = np.asarray(nav_outs["local_logits"])
+                nav_vpids = nav_b["bev_cand_vpids"]
+            elif self.cfg.fusion == "global":
+                nav_logits = np.asarray(nav_outs["global_logits"])
+                nav_vpids = nav_g["gmap_vpids"]
+            else:
+                nav_logits = np.asarray(nav_outs["fused_logits"])
+                nav_vpids = nav_g["gmap_vpids"]
             nav_probs = np.exp(
                 nav_logits - nav_logits.max(-1, keepdims=True)
             )
@@ -745,7 +760,10 @@ class GMapNavAgent:
 
             targets = self._teacher_action(
                 obs, nav_vpids, ended,
-                visited_masks=nav_g["gmap_visited_masks"],
+                visited_masks=(
+                    None if self.cfg.fusion == "local"
+                    else nav_g["gmap_visited_masks"]
+                ),
                 imitation_learning=(feedback == "teacher"), t=t, traj=traj,
             )
 

@@ -64,17 +64,30 @@ def make_optimizer(cfg: OptimConfig, params_for_mask=None) -> optax.GradientTran
     mask = None
     if params_for_mask is not None:
         mask = _decay_mask(params_for_mask)
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.grad_norm),
-        optax.adamw(
-            learning_rate=sched,
-            b1=cfg.betas[0],
-            b2=cfg.betas[1],
-            eps=1e-8,
-            weight_decay=cfg.weight_decay,
-            mask=mask,
-        ),
-    )
+    base_name, _, wrapper = cfg.optim.partition("+")
+    if base_name == "adamw":
+        inner = optax.adamw(
+            learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1],
+            eps=1e-8, weight_decay=cfg.weight_decay, mask=mask,
+        )
+    elif base_name == "radam":
+        # vendored RAdam in the reference (optim/radam.py); decoupled decay
+        inner = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=mask),
+            optax.radam(learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1]),
+        )
+    elif base_name == "lamb":
+        inner = optax.lamb(
+            learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1],
+            weight_decay=cfg.weight_decay, mask=mask,
+        )
+    else:
+        raise ValueError(f"unknown optimizer: {cfg.optim}")
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm), inner)
+    if wrapper == "ema":  # slow-weights variant in the spirit of Lookahead
+        tx = optax.chain(tx, optax.ema(decay=0.5, debias=False))
+    elif wrapper:
+        raise ValueError(f"unknown optimizer wrapper: {wrapper}")
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx

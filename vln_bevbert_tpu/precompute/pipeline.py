@@ -1,0 +1,150 @@
+"""Offline feature precompute pipeline.
+
+Role of /root/reference/precompute_features/: drive a renderer over every
+(scan, viewpoint), push frames through a frozen image encoder, and write the
+four HDF5 products the training stack consumes (36-view pooled features,
+12-view patch-grid features, 14x14 depth stored as metres/10, 14x14 semantic
+labels — grid_habitat_clip.py:74-140, grid_depth.py:58-110, grid_sem.py).
+
+Pluggable pieces:
+- ``ImageSource``: yields per-viewpoint frames. The reference drives
+  MatterSim for poses + habitat for pixels (C++ sims, absent here);
+  ``SyntheticImageSource`` generates deterministic frames so the pipeline is
+  runnable/testable, and a real binding implements the same iterator.
+- ``Encoder``: pooled 36-view features + 12-view patch grids.
+  ``ClipEncoder`` wraps a transformers CLIP vision tower (frozen);
+  ``RandomProjectionEncoder`` is a dependency-free stand-in.
+
+The single-writer structure of the reference's multiprocessing fan-out
+(grid_habitat_clip.py:130-160) collapses to a plain loop here (feature
+extraction is device-bound, not worker-bound, on TPU).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class SyntheticImageSource:
+    """Deterministic random frames per (scan, viewpoint)."""
+
+    def __init__(self, scan_viewpoints: Dict[str, Iterable[str]],
+                 image_hw: int = 224, grid_hw: int = 14, num_views: int = 12,
+                 num_sem: int = 40, seed: int = 0):
+        self.scan_viewpoints = {k: list(v) for k, v in scan_viewpoints.items()}
+        self.image_hw = image_hw
+        self.grid_hw = grid_hw
+        self.num_views = num_views
+        self.num_sem = num_sem
+        self.seed = seed
+
+    def __iter__(self) -> Iterator[Tuple[str, str, dict]]:
+        for scan, vps in self.scan_viewpoints.items():
+            for vp in vps:
+                rng = np.random.default_rng(
+                    (hash((scan, vp, self.seed)) & 0x7FFFFFFF)
+                )
+                yield scan, vp, {
+                    "views36": rng.integers(
+                        0, 255, (36, self.image_hw, self.image_hw, 3)
+                    ).astype(np.uint8),
+                    "ring12": rng.integers(
+                        0, 255, (self.num_views, self.image_hw, self.image_hw, 3)
+                    ).astype(np.uint8),
+                    "depth": rng.uniform(
+                        0.2, 9.0, (self.num_views, self.grid_hw, self.grid_hw)
+                    ).astype(np.float32),
+                    "sem": rng.integers(
+                        0, self.num_sem, (self.num_views, self.grid_hw, self.grid_hw)
+                    ).astype(np.uint8),
+                }
+
+
+class RandomProjectionEncoder:
+    """Deterministic linear projection of downsampled pixels — a stand-in
+    encoder with the correct interface and shapes."""
+
+    def __init__(self, pooled_dim: int = 512, grid_dim: int = 768,
+                 grid_hw: int = 14, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        self.grid_hw = grid_hw
+        self._w_pool = rng.normal(scale=0.02, size=(768, pooled_dim)).astype(np.float32)
+        self._w_grid = rng.normal(scale=0.02, size=(48, grid_dim)).astype(np.float32)
+
+    def _patch(self, imgs, hw):
+        n, h, w, _ = imgs.shape
+        ph, pw = h // hw, w // hw
+        x = imgs[:, : ph * hw, : pw * hw].astype(np.float32) / 255.0
+        x = x.reshape(n, hw, ph, hw, pw, 3).mean((2, 4))  # (n, hw, hw, 3)
+        return x
+
+    def encode_views(self, views36: np.ndarray) -> np.ndarray:
+        x = self._patch(views36, 16).reshape(36, -1)  # (36, 768)
+        return (x @ self._w_pool).astype(np.float32)
+
+    def encode_grids(self, ring12: np.ndarray) -> np.ndarray:
+        x = self._patch(ring12, self.grid_hw)  # (12, hw, hw, 3)
+        n = x.shape[0]
+        x = np.concatenate([x] * 16, axis=-1).reshape(n, self.grid_hw ** 2, 48)
+        return (x @ self._w_grid).astype(np.float32)
+
+
+class ClipEncoder:
+    """Frozen CLIP ViT-B/16 vision tower via transformers (the reference's
+    vendored OpenAI CLIP, precompute_features/clip/). Requires locally cached
+    weights (zero-egress environments can't download)."""
+
+    def __init__(self, model_name: str = "openai/clip-vit-base-patch16",
+                 grid_hw: int = 14):
+        import torch
+        from transformers import CLIPVisionModel
+
+        self.torch = torch
+        self.model = CLIPVisionModel.from_pretrained(model_name).eval()
+        self.grid_hw = grid_hw
+
+    def _forward(self, imgs: np.ndarray):
+        torch = self.torch
+        x = torch.from_numpy(imgs.astype(np.float32) / 255.0).permute(0, 3, 1, 2)
+        mean = torch.tensor([0.4815, 0.4578, 0.4082])[None, :, None, None]
+        std = torch.tensor([0.2686, 0.2613, 0.2758])[None, :, None, None]
+        with torch.no_grad():
+            out = self.model((x - mean) / std)
+        return out
+
+    def encode_views(self, views36: np.ndarray) -> np.ndarray:
+        return self._forward(views36).pooler_output.numpy()
+
+    def encode_grids(self, ring12: np.ndarray) -> np.ndarray:
+        hidden = self._forward(ring12).last_hidden_state.numpy()
+        return hidden[:, 1:, :]  # drop CLS -> (12, grid_hw^2, 768)
+
+
+def build_feature_files(source, encoder, out_dir: str,
+                        progress_every: int = 50) -> Dict[str, str]:
+    import h5py
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "img_ft": os.path.join(out_dir, "view_fts.hdf5"),
+        "rgb": os.path.join(out_dir, "grid_fts.hdf5"),
+        "depth": os.path.join(out_dir, "depth.hdf5"),
+        "sem": os.path.join(out_dir, "sem.hdf5"),
+    }
+    files = {k: h5py.File(p, "w") for k, p in paths.items()}
+    try:
+        for n, (scan, vp, frames) in enumerate(source):
+            key = f"{scan}_{vp}"
+            files["img_ft"][key] = encoder.encode_views(frames["views36"])
+            files["rgb"][key] = encoder.encode_grids(frames["ring12"]).astype(np.float16)
+            files["depth"][key] = (frames["depth"] / 10.0).astype(np.float16)
+            files["sem"][key] = frames["sem"]
+            if progress_every and (n + 1) % progress_every == 0:
+                print(f"precompute: {n + 1} viewpoints done", flush=True)
+    finally:
+        for f in files.values():
+            f.close()
+    return paths

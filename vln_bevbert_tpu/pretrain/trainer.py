@@ -58,6 +58,22 @@ class PretrainTrainer:
             })
         return path
 
+    def auto_resume(self) -> Optional[str]:
+        """Requeue-style recovery: restore the newest checkpoint in the
+        output directory, if any (ref IL.is_requeue mtime-sorted reload,
+        bevbert_ce/vlnce_baselines/ss_trainer_BEV.py:254-276)."""
+        ckpts = [
+            os.path.join(self.output_dir, d)
+            for d in os.listdir(self.output_dir)
+            if d.startswith("ckpt_")
+            and os.path.isdir(os.path.join(self.output_dir, d))
+        ]
+        if not ckpts:
+            return None
+        newest = max(ckpts, key=os.path.getmtime)
+        self.restore(newest)
+        return newest
+
     def restore(self, path: str):
         import orbax.checkpoint as ocp
 
