@@ -63,13 +63,15 @@ def main():
         compiled = lowered.compile()
         cost = compiled.cost_analysis()
         flops_per_task[task] = float(cost.get("flops", 0.0)) if cost else 0.0
-        state, _ = step(state, batch, key, task=task)
-    jax.block_until_ready(state.params)
+        state, metrics = step(state, batch, key, task=task)
+    # NB: block_until_ready is unreliable through remote-tunnel backends; a
+    # host readback of a value depending on the full chain is the only sync.
+    float(metrics["loss"])
 
     t0 = time.time()
     for task in mix:
         state, metrics = step(state, batch, key, task=task)
-    jax.block_until_ready(state.params)
+    float(metrics["loss"])  # forces the whole state chain
     dt = time.time() - t0
 
     n_samples = len(mix) * B

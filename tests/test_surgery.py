@@ -71,8 +71,8 @@ def test_hf_bert_forward_parity(hf_model_and_cfg):
     tree = hf_bert_to_tree(sd, num_l_layers=3)
     n_before = count_transferred(tree, params)
     merged = transfer_pretrained(tree, params)
-    # 5 embedding leaves + 16 leaves per layer x 3 layers
-    assert n_before == 5 + 3 * 16, n_before
+    # 5 embedding leaves + 12 leaves per layer (fused qkv) x 3 layers
+    assert n_before == 5 + 3 * 12, n_before
 
     ours = np.asarray(model.apply({"params": merged}, ids, masks))
 

@@ -58,11 +58,13 @@ def mask_tokens(
 
 
 def build_gmap_agg(
-    ex: PathExample, shapes: ShapeConfig, num_view_slots: int, num_slots: int
+    ex: PathExample, shapes: ShapeConfig, num_view_slots: int, num_slots: int,
+    num_steps: Optional[int] = None,
 ) -> np.ndarray:
     """(N, T*P) aggregation weights. Visited node: mean over its (last) visit
     step's valid tokens. Frontier node: mean over its candidate sightings."""
-    N, T, P = shapes.max_gmap_len, shapes.max_steps, num_slots
+    N, P = shapes.max_gmap_len, num_slots
+    T = num_steps if num_steps is not None else shapes.max_steps
     agg = np.zeros((N, T * P), np.float32)
     n_steps = min(len(ex.traj_vpids), T)
     last_visit = {}
@@ -136,7 +138,12 @@ def make_pretrain_batch(
     obj_mrc_mask_prob: float = 0.15,
 ) -> Dict[str, np.ndarray]:
     B = len(examples)
-    L, T, V = shapes.max_txt_len, shapes.max_steps, shapes.max_pano_len
+    L, V = shapes.max_txt_len, shapes.max_pano_len
+    # bucket the trajectory axis: real paths are far shorter than the
+    # 21-step cap, and the pano encoder's cost is linear in T. Rounding the
+    # batch max to a multiple of 4 bounds recompilation to ~5 variants.
+    t_needed = max(min(len(ex.traj_vpids), shapes.max_steps) for ex in examples)
+    T = min(((t_needed + 3) // 4) * 4, shapes.max_steps)
     with_objects = examples[0].traj_obj_fts is not None
     O = shapes.max_objects if with_objects else 0
     P = V + O
@@ -230,7 +237,7 @@ def make_pretrain_batch(
         gmap_pair_dists[b, :n_nodes, :n_nodes] = ex.gmap_pair_dists[
             :n_nodes, :n_nodes
         ]
-        gmap_agg[b] = build_gmap_agg(ex, shapes, V, P)
+        gmap_agg[b] = build_gmap_agg(ex, shapes, V, P, num_steps=T)
         fuse_map[b] = build_fuse_map(ex, shapes)
 
         depths[b] = ex.depths

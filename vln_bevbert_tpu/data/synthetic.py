@@ -100,7 +100,11 @@ def synthetic_pretrain_batch(
     out.update(mlm_pos=mlm_pos, mlm_tgt=mlm_tgt, mlm_valid=mlm_valid, mlm_ids=mlm_ids)
 
     # ------------------------------------------------------------ trajectory
-    steps = rng.integers(1, T + 1, batch)
+    # realistic R2R path lengths: 4-7 viewpoints (the 20-step cap is a
+    # truncation bound, not the typical case)
+    steps = np.minimum(rng.integers(4, 8, batch), T)
+    # match the production collate's trajectory-axis bucketing
+    T = min(((int(steps.max()) + 3) // 4) * 4, T)
     min_views = min(36, max(1, int(0.8 * V)))  # real data: >=36 of max 44 slots
     view_lens = rng.integers(min_views, V + 1, (batch, T)).astype(np.int32)
     # candidates must also fit the K local slots (slot 0 is [stop])

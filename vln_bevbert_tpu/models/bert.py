@@ -65,13 +65,18 @@ class Attention(nn.Module):
         cfg = self.cfg
         h, d = cfg.num_attention_heads, cfg.head_dim
 
-        def proj(x, name):
-            y = dense(cfg, cfg.hidden_size, name=name)(x)
+        def heads(y):
             return y.reshape(*y.shape[:-1], h, d)
 
-        q = proj(q_in, "query")
-        k = proj(kv_in, "key")
-        v = proj(kv_in, "value")
+        # fused projections: one matmul for self-attention QKV, Q + fused KV
+        # for cross-attention (identical numerics, fewer small MXU launches)
+        if q_in is kv_in:
+            qkv = dense(cfg, 3 * cfg.hidden_size, name="qkv")(q_in)
+            q, k, v = (heads(t) for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = heads(dense(cfg, cfg.hidden_size, name="query")(q_in))
+            kv = dense(cfg, 2 * cfg.hidden_size, name="kv")(kv_in)
+            k, v = (heads(t) for t in jnp.split(kv, 2, axis=-1))
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)

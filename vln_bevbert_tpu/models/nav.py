@@ -30,6 +30,23 @@ from .glocal import GlocalTextPathCMT, gather_tokens
 Batch = Dict[str, Any]
 
 
+class Critic(nn.Module):
+    """State-value head (ref map_nav_src/models/model.py:41-55 — constructed
+    by the reference agent for RL fine-tuning; unused under pure IL)."""
+
+    cfg: ModelConfig
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, state, *, deterministic: bool = True):
+        from .bert import dense
+
+        x = nn.Dropout(self.dropout)(state, deterministic=deterministic)
+        x = nn.relu(dense(self.cfg, 512, name="fc1")(x))
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return dense(self.cfg, 1, name="fc2")(x)[..., 0]
+
+
 class GlocalTextPathNavCMT(nn.Module):
     cfg: ModelConfig
 

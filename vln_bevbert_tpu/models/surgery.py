@@ -97,9 +97,15 @@ def hf_bert_to_tree(state_dict: Dict[str, "np.ndarray"], num_l_layers: int = 9,
     for i in range(num_l_layers):
         hf = f"encoder.layer.{i}"
         base = ("lang_encoder", f"layer_{i}")
-        _set(tree, base + ("attn", "att", "query"), lin(f"{hf}.attention.self.query"))
-        _set(tree, base + ("attn", "att", "key"), lin(f"{hf}.attention.self.key"))
-        _set(tree, base + ("attn", "att", "value"), lin(f"{hf}.attention.self.value"))
+        # our self-attention uses a fused QKV projection: concat the three
+        # HF matrices (concat-of-matmuls == matmul-of-concat)
+        q = lin(f"{hf}.attention.self.query")
+        k = lin(f"{hf}.attention.self.key")
+        v = lin(f"{hf}.attention.self.value")
+        _set(tree, base + ("attn", "att", "qkv"), {
+            "kernel": np.concatenate([q["kernel"], k["kernel"], v["kernel"]], axis=1),
+            "bias": np.concatenate([q["bias"], k["bias"], v["bias"]]),
+        })
         _set(tree, base + ("attn", "out_dense"), lin(f"{hf}.attention.output.dense"))
         _set(tree, base + ("attn", "out_ln"), ln(f"{hf}.attention.output.LayerNorm"))
         _set(tree, base + ("ffn", "inter"), lin(f"{hf}.intermediate.dense"))

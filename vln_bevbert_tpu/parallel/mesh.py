@@ -37,3 +37,23 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "dp") -> dict:
     return {
         k: jax.device_put(v, s) for k, v in batch.items()
     }
+
+
+def device_prefetch(iterator, mesh: Optional[Mesh] = None, depth: int = 2):
+    """Overlap host->device transfer with device compute: keep `depth`
+    batches already device_put ahead of consumption (the reference's
+    PrefetchLoader H2D role, pretrain_src/data/loader.py:62-124).
+    Items are (tag, batch) tuples; only the batch is transferred."""
+    import collections
+
+    queue = collections.deque()
+    put = (lambda b: shard_batch(mesh, b)) if mesh is not None else (
+        lambda b: {k: jax.device_put(v) for k, v in b.items()}
+    )
+    for item in iterator:
+        tag, batch = item
+        queue.append((tag, put(batch)))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -98,12 +98,12 @@ class PretrainTrainer:
         n_examples = 0
         t_start = time.time()
         start_step = int(self.state.step)
-        it = iter(self.train_loader)
+        from ..parallel.mesh import device_prefetch
+
+        it = device_prefetch(iter(self.train_loader), self.mesh, depth=2)
         for _ in range(start_step, num_steps):
             task, batch = next(it)
             base = task.split("_")[0]
-            if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
             self.state, metrics = self.step_fn(self.state, batch, self.rng, base)
             n_examples += cfg.train_batch_size
             step = int(self.state.step)
