@@ -373,9 +373,11 @@ class TextPathData:
         kernel is unit-clean."""
         g = self.graphs[scan]
         pos = g.position(cur_vp)
-        grid = self.grid_db.get(scan, cur_vp).astype(np.float32)
-        depth = self.depth_db.get(scan, cur_vp).astype(np.float32) * 10.0
-        sem = self.sem_db.get(scan, cur_vp).reshape(-1).astype(np.int32)
+        grid = np.asarray(self.grid_db.get(scan, cur_vp), np.float32)
+        depth = np.asarray(self.depth_db.get(scan, cur_vp), np.float32) * 10.0
+        sem = np.asarray(
+            self.sem_db.get(scan, cur_vp), np.int32
+        ).reshape(-1)
         cam_xyzhe = bev_camera_poses(pos, num_views=self.num_views)
         T_c2w = se3_from_xyzhe(cam_xyzhe)
         T_w2c = se3_from_xyzhe(
