@@ -290,7 +290,7 @@ def make_pretrain_batch(
                 obj_mrc[b, :n_last] = m
                 # zero the masked object features at the final step
                 # (ref _mask_img_feat, tasks.py:175-178,241-242)
-                obj_fts[b, last_step[b]][m] = 0.0
+                obj_fts[b, last_step[b], :n_last][m] = 0.0
         out["obj_probs"] = obj_probs
         out["obj_mrc_masks"] = obj_mrc
     if mlm:

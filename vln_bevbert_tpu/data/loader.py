@@ -133,6 +133,40 @@ class PretrainLoader:
             stop.set()
 
 
+def make_synthetic_object_world(
+    graphs, rng: np.random.Generator, n_items: int = 16,
+    objects_per_vp: int = 2, obj_feat_size: int = 768, obj_prob_size: int = 1000,
+):
+    """REVERIE-style synthetic fixtures: per-viewpoint object records, the
+    obj2vps goal table, and annotations with pos_vps / objId / obj pseudo
+    labels (covers both REVERIE and SOON input schemas)."""
+    obj_data, obj2vps = {}, {}
+    oid = 0
+    for scan, g in graphs.items():
+        for vp in g.node_ids:
+            ids = [str(oid + k) for k in range(objects_per_vp)]
+            oid += objects_per_vp
+            obj_data[f"{scan}_{vp}"] = {
+                "fts": rng.normal(
+                    size=(objects_per_vp, obj_feat_size + obj_prob_size)
+                ).astype(np.float32),
+                "directions": rng.uniform(-1, 1, (objects_per_vp, 2)).astype(np.float32),
+                "sizes": rng.uniform(20, 120, (objects_per_vp, 2)).astype(np.float32),
+                "obj_ids": ids,
+            }
+            for i in ids:
+                obj2vps[f"{scan}_{i}"] = [vp]
+    annos = make_synthetic_annotations(graphs, rng, n_items=n_items)
+    for a in annos:
+        scan, goal = a["scan"], a["path"][-1]
+        objid = obj_data[f"{scan}_{goal}"]["obj_ids"][0]
+        a["objId"] = objid
+        a["pos_vps"] = obj2vps[f"{scan}_{objid}"]
+        a["instr_id"] = f"{a['instr_id'].split('_')[0]}_{objid}_0"
+        a["obj_pseudo_label"] = {"idx": 0}
+    return annos, obj_data, obj2vps
+
+
 def make_synthetic_annotations(
     graphs, rng: np.random.Generator, n_items: int = 32,
     min_len: int = 3, max_len: int = 7, txt_len=(10, 40),

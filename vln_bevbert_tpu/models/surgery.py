@@ -70,11 +70,16 @@ def hf_bert_to_tree(state_dict: Dict[str, "np.ndarray"], num_l_layers: int = 9,
     HF layout: bert.embeddings.{word,position,token_type}_embeddings.weight,
     bert.encoder.layer.N.attention.self.{query,key,value}.{weight,bias},
     .attention.output.dense/LayerNorm, .intermediate.dense, .output.dense/LayerNorm.
+    XLM-RoBERTa checkpoints share the encoder layout under a 'roberta.'
+    prefix (the reference's RxR path, pretrain_src/train_r2r.py:131-148).
     """
-    sd = {
-        k[5:] if k.startswith("bert.") else k: np.asarray(v)
-        for k, v in state_dict.items()
-    }
+    sd = {}
+    for k, v in state_dict.items():
+        for prefix in ("bert.", "roberta.", "xlm_roberta."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+                break
+        sd[k] = np.asarray(v)
     tree: Dict[str, Any] = {}
 
     def lin(prefix, transpose=True):
