@@ -928,13 +928,19 @@ class GMapNavAgent:
                 )
                 arrs += [pad_arr] * (T - len(arrs))
                 rb[attr] = np.stack(arrs)
+        return self.learn_from_bundle(rb)
+
+    def learn_from_bundle(self, rb: Dict[str, Any]) -> float:
+        """One replay update from a prepared bundle (online rollouts and the
+        teacher-recollection store share this path)."""
+        T = rb["targets"].shape[0]
+        rb = dict(rb)
         self.rng, sub = jax.random.split(self.rng)
         keys = jax.random.split(sub, T + 2)
         rb["rng"] = keys[:T]
         rb["rng_lang"] = keys[T]
         rb["rng_pano"] = keys[T + 1]
-        # view_lens of padded steps must be >=1? masked rows are fine: all
-        # tokens masked out -> attn_bias fully NEG_INF; loss rows are ignored.
+        # padded steps are fully masked (attn bias NEG_INF, targets ignored)
         loss, grads = self._fn("loss_grad")(self.params, rb)
         self.params, self.opt_state = self._fn("update")(
             self.params, self.opt_state, grads
