@@ -59,11 +59,12 @@ def mask_tokens(
 
 def build_gmap_agg(
     ex: PathExample, shapes: ShapeConfig, num_view_slots: int, num_slots: int,
-    num_steps: Optional[int] = None,
+    num_steps: Optional[int] = None, num_nodes: Optional[int] = None,
 ) -> np.ndarray:
     """(N, T*P) aggregation weights. Visited node: mean over its (last) visit
     step's valid tokens. Frontier node: mean over its candidate sightings."""
-    N, P = shapes.max_gmap_len, num_slots
+    P = num_slots
+    N = num_nodes if num_nodes is not None else shapes.max_gmap_len
     T = num_steps if num_steps is not None else shapes.max_steps
     agg = np.zeros((N, T * P), np.float32)
     n_steps = min(len(ex.traj_vpids), T)
@@ -99,11 +100,12 @@ def build_gmap_agg(
 
 
 def build_fuse_map(
-    ex: PathExample, shapes: ShapeConfig
+    ex: PathExample, shapes: ShapeConfig, num_nodes: Optional[int] = None
 ) -> np.ndarray:
     """(N, K) 0/1 map: fused[n] = global[n] + sum_k map[n,k]*local[k]
     (semantics of the reference backtracking loop, pretrain_cmt.py:339-356)."""
-    N, K = shapes.max_gmap_len, shapes.max_local_len
+    N = num_nodes if num_nodes is not None else shapes.max_gmap_len
+    K = shapes.max_local_len
     fm = np.zeros((N, K), np.float32)
     fm[0, 0] = 1.0  # [stop]
     visited = {
@@ -138,16 +140,27 @@ def make_pretrain_batch(
     obj_mrc_mask_prob: float = 0.15,
 ) -> Dict[str, np.ndarray]:
     B = len(examples)
-    L, V = shapes.max_txt_len, shapes.max_pano_len
-    # bucket the trajectory axis: real paths are far shorter than the
-    # 21-step cap, and the pano encoder's cost is linear in T. Rounding the
-    # batch max to a multiple of 4 bounds recompilation to ~5 variants.
+    V = shapes.max_pano_len
+    # Bucket the batch-dependent axes so compute follows the data instead of
+    # the configured caps, with coarse steps to bound recompilation:
+    #   trajectory: multiples of 4 (pano encoder cost is linear in T)
+    #   text:       {64, 128, cap} (R2R instructions are ~30 tokens; the 200
+    #               cap exists for RxR)
+    #   global map: {half-cap, cap}
     t_needed = max(min(len(ex.traj_vpids), shapes.max_steps) for ex in examples)
     T = min(((t_needed + 3) // 4) * 4, shapes.max_steps)
+    l_needed = max(len(ex.instr_encoding) for ex in examples)
+    L = next(
+        (b for b in (64, 128) if l_needed <= b < shapes.max_txt_len),
+        shapes.max_txt_len,
+    )
+    n_needed = max(len(ex.gmap_vpids) for ex in examples)
+    half_n = shapes.max_gmap_len // 2
+    N_bucket = half_n if n_needed <= half_n else shapes.max_gmap_len
     with_objects = examples[0].traj_obj_fts is not None
     O = shapes.max_objects if with_objects else 0
     P = V + O
-    N, K, M = shapes.max_gmap_len, shapes.max_local_len, shapes.max_masked_tokens
+    N, K, M = N_bucket, shapes.max_local_len, shapes.max_masked_tokens
     C = model.num_bev_tokens
     A = model.angle_feat_size
 
@@ -237,8 +250,8 @@ def make_pretrain_batch(
         gmap_pair_dists[b, :n_nodes, :n_nodes] = ex.gmap_pair_dists[
             :n_nodes, :n_nodes
         ]
-        gmap_agg[b] = build_gmap_agg(ex, shapes, V, P, num_steps=T)
-        fuse_map[b] = build_fuse_map(ex, shapes)
+        gmap_agg[b] = build_gmap_agg(ex, shapes, V, P, num_steps=T, num_nodes=N)
+        fuse_map[b] = build_fuse_map(ex, shapes, num_nodes=N)
 
         depths[b] = ex.depths
         grid_fts[b] = ex.grid_fts

@@ -65,11 +65,16 @@ def synthetic_pretrain_batch(
     if with_objects is None:
         with_objects = model.obj_feat_size > 0
     L = shapes.max_txt_len
+    # realistic R2R instruction lengths + the production collate's buckets
+    txt_hi = min(64, L)
+    L = next((b for b in (64, 128) if txt_hi <= b < shapes.max_txt_len),
+             shapes.max_txt_len) if L > 64 else L
     T = shapes.max_steps
     V = shapes.max_pano_len
     O = shapes.max_objects if with_objects else 0
     P = V + O
-    N = shapes.max_gmap_len
+    # gmap bucket mirrors the collate: typical maps fit the half cap
+    N = shapes.max_gmap_len // 2 if shapes.max_gmap_len >= 8 else shapes.max_gmap_len
     K = shapes.max_local_len
     M = shapes.max_masked_tokens
     C = model.num_bev_tokens
@@ -78,7 +83,7 @@ def synthetic_pretrain_batch(
     out: Dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------------ text
-    txt_lens = rng.integers(8, L + 1, batch)
+    txt_lens = rng.integers(8, min(txt_hi, L) + 1, batch)
     txt_ids = rng.integers(1996, 29611, (batch, L)).astype(np.int32)
     txt_ids[:, 0] = 101
     txt_masks = np.arange(L)[None, :] < txt_lens[:, None]
