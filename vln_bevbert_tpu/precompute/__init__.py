@@ -1,5 +1,6 @@
 from .pipeline import (
     ClipEncoder,
+    JaxClipEncoder,
     RandomProjectionEncoder,
     SyntheticImageSource,
     build_feature_files,
@@ -10,4 +11,5 @@ __all__ = [
     "SyntheticImageSource",
     "RandomProjectionEncoder",
     "ClipEncoder",
+    "JaxClipEncoder",
 ]

@@ -123,6 +123,42 @@ class ClipEncoder:
         return hidden[:, 1:, :]  # drop CLS -> (12, grid_hw^2, 768)
 
 
+class JaxClipEncoder:
+    """TPU-side frozen CLIP tower (models/clip.py). Weights either from a
+    HuggingFace checkpoint (hf_clip_to_tree) or any saved param tree."""
+
+    def __init__(self, params, grid_hw: int = 14, **tower_kwargs):
+        import jax
+
+        from ..models.clip import ClipVisionTower, preprocess
+
+        self.tower = ClipVisionTower(**tower_kwargs)
+        self.params = params
+        self.grid_hw = grid_hw
+        self._preprocess = preprocess
+        self._fwd = jax.jit(
+            lambda imgs: self.tower.apply({"params": self.params}, imgs)
+        )
+
+    @classmethod
+    def from_hf(cls, model_name: str = "openai/clip-vit-base-patch16", **kw):
+        from transformers import CLIPVisionModel
+
+        from ..models.clip import hf_clip_to_tree
+
+        hf = CLIPVisionModel.from_pretrained(model_name)
+        tree = hf_clip_to_tree(
+            {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        )
+        return cls(tree, **kw)
+
+    def encode_views(self, views36: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fwd(self._preprocess(views36))["pooled"])
+
+    def encode_grids(self, ring12: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fwd(self._preprocess(ring12))["grid"])
+
+
 def build_feature_files(source, encoder, out_dir: str,
                         progress_every: int = 50) -> Dict[str, str]:
     import h5py
