@@ -1,0 +1,27 @@
+"""DDPPO depth-encoder architectural tests (shape contract + determinism)."""
+
+import jax
+import numpy as np
+
+from vln_bevbert_tpu.models.depth_encoder import DdppoDepthEncoder
+
+
+def test_depth_encoder_output_shape():
+    enc = DdppoDepthEncoder()
+    depth = np.random.default_rng(0).uniform(0, 1, (2, 128, 128, 1)).astype(np.float32)
+    params = enc.init(jax.random.key(0), depth)
+    out = enc.apply(params, depth)
+    # the reference's flattened 2048-d (128 x 4 x 4) depth_features layout
+    assert out.shape == (2, 4, 4, 128)
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = enc.apply(params, depth)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_depth_encoder_tiny_variant():
+    enc = DdppoDepthEncoder(baseplanes=8, layers=(1, 1), final_channels=16,
+                            final_spatial=2)
+    depth = np.zeros((1, 32, 32, 1), np.float32)
+    params = enc.init(jax.random.key(0), depth)
+    out = enc.apply(params, depth)
+    assert out.shape == (1, 2, 2, 16)

