@@ -53,8 +53,9 @@ def main():
     batch = {k: jax.device_put(v) for k, v in batch.items()}
     key = jax.random.key(0)
 
-    # task mix mirrors the MetaLoader distribution (5:5:1)
-    mix = (["mlm"] * 5 + ["sap"] * 5 + ["masksem"]) * 3
+    # exactly the 5:5:1 task mix, grouped as the block-scheduled MetaLoader
+    # runs it (task_block_size amortises executable switches)
+    mix = ["mlm"] * 15 + ["sap"] * 15 + ["masksem"] * 3
 
     # compile all tasks + estimate FLOPs of one step from XLA cost analysis
     flops_per_task = {}

@@ -136,6 +136,9 @@ class PretrainConfig:
 
     tasks: Tuple[str, ...] = ("mlm", "sap", "masksem")
     mix_ratio: Tuple[float, ...] = (5.0, 5.0, 1.0)
+    task_block_size: int = 8       # consecutive steps per task draw (see
+                                   # data/loader.MetaLoader: executable-switch
+                                   # cost; 1 = reference per-step sampling)
     train_batch_size: int = 16     # per chip
     val_batch_size: int = 16
     mlm_prob: float = 0.15

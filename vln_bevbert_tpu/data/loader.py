@@ -48,17 +48,26 @@ def sample_end_vp_type(task: str, rng: np.random.Generator) -> str:
 
 class MetaLoader:
     """Deterministic task schedule: task(step) = choice(tasks, p=mix) with a
-    PRNG keyed by (seed, step)."""
+    PRNG keyed by (seed, step).
 
-    def __init__(self, tasks: Sequence[str], mix_ratio: Sequence[float], seed: int = 0):
+    ``block_size`` > 1 samples the task once per block of consecutive steps
+    (same marginal distribution as per-step i.i.d. sampling, since blocks are
+    themselves i.i.d.). Switching between task executables has real cost on
+    TPU runtimes (~90 ms/switch measured through this backend), so blocking
+    is free throughput; block_size=1 reproduces the reference's per-step
+    draw (pretrain_src/data/loader.py:54-59)."""
+
+    def __init__(self, tasks: Sequence[str], mix_ratio: Sequence[float],
+                 seed: int = 0, block_size: int = 1):
         assert len(tasks) == len(mix_ratio)
         self.tasks = list(tasks)
         p = np.asarray(mix_ratio, np.float64)
         self.p = p / p.sum()
         self.seed = seed
+        self.block_size = max(int(block_size), 1)
 
     def task_for_step(self, step: int) -> str:
-        rng = np.random.default_rng((self.seed, step))
+        rng = np.random.default_rng((self.seed, step // self.block_size))
         return self.tasks[int(rng.choice(len(self.tasks), p=self.p))]
 
 
@@ -75,7 +84,10 @@ class PretrainLoader:
     ):
         self.nav_db = nav_db
         self.cfg = cfg
-        self.meta = MetaLoader(cfg.tasks, cfg.mix_ratio, seed)
+        self.meta = MetaLoader(
+            cfg.tasks, cfg.mix_ratio, seed,
+            block_size=getattr(cfg, "task_block_size", 1),
+        )
         self.rng = np.random.default_rng((seed, rank, 17))
         self.prefetch = prefetch
 
