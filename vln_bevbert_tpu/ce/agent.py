@@ -114,10 +114,12 @@ class CEAgent(GMapNavAgent):
         T = se3_from_xyzhe(xyzhe.reshape(-1, 5)).reshape(B, nv, 4, 4)
         depths = np.stack([ob["depth"] for ob in obs]).astype(np.float32) * 10.0
         pc, no_depth = self._fn("lift")(depths, T)
-        feats = np.stack([ob["rgb"] for ob in obs]).reshape(
-            B, -1, self.cfg.model.bev_grid_feat_size
+        feats = jax.device_put(
+            np.stack([ob["rgb"] for ob in obs]).reshape(
+                B, -1, self.cfg.model.bev_grid_feat_size
+            )
         )
-        return np.asarray(pc), np.asarray(~no_depth), feats
+        return pc, ~no_depth, feats
 
     def _ce_gmap_variable(self, obs, gmaps, embed_refs, pano_store):
         """[stop] + real nodes (visited, masked from action) + ghosts."""
@@ -203,13 +205,12 @@ class CEAgent(GMapNavAgent):
         ss_trainer_BEV.py:465-475)."""
         sh, m = self.cfg.shapes, self.cfg.model
         B = len(obs)
-        C, K, P = m.num_bev_tokens, sh.max_local_len, sh.num_points
+        C, K = m.num_bev_tokens, sh.max_local_len
         S_max = sh.max_pc_steps
         A = m.angle_feat_size
         c = (m.bev_dim - 1) // 2
-        pc = np.zeros((B, S_max * P, 3), np.float32)
-        valid = np.zeros((B, S_max * P), bool)
-        feats = np.zeros((B, S_max * P, m.bev_grid_feat_size), np.float32)
+        step_sel = np.zeros((B, S_max), np.int32)
+        step_ok = np.zeros((B, S_max), bool)
         S_w2c = np.zeros((B, 3), np.float32)
         T_w2c = np.zeros((B, 4, 4), np.float32)
         bev_nav_masks = np.zeros((B, C), bool)
@@ -220,11 +221,8 @@ class CEAgent(GMapNavAgent):
         for i, (ob, gmap) in enumerate(zip(obs, gmaps)):
             cur_vp = list(gmap.node_pos)[-1]
             steps = gmap.gather_pc_steps(cur_vp, self.cfg.pc_order)[-S_max:]
-            for s_i, t in enumerate(steps):
-                sl = slice(s_i * P, (s_i + 1) * P)
-                pc[i, sl] = pc_store["pc"][t][i]
-                valid[i, sl] = pc_store["valid"][t][i]
-                feats[i, sl] = pc_store["feats"][t][i]
+            step_sel[i, : len(steps)] = steps
+            step_ok[i, : len(steps)] = True
             S_w2c[i] = ob["position"]
             T_w2c[i] = se3_from_xyzhe(
                 np.array([[0, 0, 0, ob["heading"], 0]], np.float32)
@@ -250,7 +248,10 @@ class CEAgent(GMapNavAgent):
             )[0]
             bev_pos_fts[i, :, : A + 3] = gpos
             bev_pos_fts[i, :, A + 3 :] = self.polar
-        bev_fts = self._fn("splat")(pc, valid, feats, T_w2c, S_w2c)
+        bev_fts = self._fn("gather_splat")(
+            pc_store.pc, pc_store.valid, pc_store.feats,
+            step_sel, step_ok, T_w2c, S_w2c,
+        )
         return {
             "bev_fts": bev_fts, "bev_pos_fts": bev_pos_fts,
             "bev_nav_masks": bev_nav_masks, "bev_cand_idxs": bev_cand_idxs,
@@ -315,7 +316,7 @@ class CEAgent(GMapNavAgent):
         txt_embeds = self._fn("language")(self.params, lang)
         ended = np.zeros(B, bool)
         pano_store = {"view_lens": {}, "embeds": {}}
-        pc_store = {"pc": {}, "valid": {}, "feats": {}}
+        pc_store = self._make_pc_store(B)
         records: List[StepRecord] = []
 
         for t in range(T):
@@ -337,11 +338,9 @@ class CEAgent(GMapNavAgent):
             pano_store["view_lens"][t] = pano_in["view_lens"]
             pano_store["embeds"][t] = pano_np
 
-            # 3. lift point cloud
+            # 3. lift point cloud into device-resident memory
             pc, pc_valid, pc_feats = self._ce_lift(obs)
-            pc_store["pc"][t] = pc
-            pc_store["valid"][t] = pc_valid
-            pc_store["feats"][t] = pc_feats
+            pc_store.set_step(t, pc, pc_valid, pc_feats)
 
             # 4. graph update with ghost bookkeeping
             for i, gmap in enumerate(gmaps):

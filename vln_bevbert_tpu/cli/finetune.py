@@ -63,7 +63,11 @@ def build_envs(cfg, args):
         val_annos = make_synthetic_annotations(graphs, rng, n_items=16)
         dbs = dict(
             view_db=H5FeatureDB(os.path.join(fts, "view_fts.hdf5")),
-            grid_db=H5FeatureDB(os.path.join(fts, "grid_fts.hdf5")),
+            # grid features stay float16 end-to-end: the agent uploads them
+            # raw and the device-resident store converts to bf16 (halves
+            # host->device traffic per step)
+            grid_db=H5FeatureDB(os.path.join(fts, "grid_fts.hdf5"),
+                                dtype=np.float16),
             depth_db=H5FeatureDB(os.path.join(fts, "depth.hdf5")),
         )
     else:
@@ -91,7 +95,8 @@ def build_envs(cfg, args):
         val_annos = load_annos("val_unseen")
         dbs = dict(
             view_db=H5FeatureDB(os.path.join(args.data_root, "view_fts.hdf5")),
-            grid_db=H5FeatureDB(os.path.join(args.data_root, "grid_fts.hdf5")),
+            grid_db=H5FeatureDB(os.path.join(args.data_root, "grid_fts.hdf5"),
+                                dtype=np.float16),
             depth_db=H5FeatureDB(os.path.join(args.data_root, "depth.hdf5")),
         )
 

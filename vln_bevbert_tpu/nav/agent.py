@@ -75,6 +75,57 @@ class StepRecord:
     obj_targets: Optional[np.ndarray] = None  # (B,)
 
 
+class DevicePcStore:
+    """Device-resident per-step point-cloud memory.
+
+    The reference keeps per-node point clouds as live GPU tensors inside its
+    GraphMap (graph_utils.py:126-143); re-uploading gathered neighbourhoods
+    from host every step costs ~200MB/step at scale. Step buffers live on
+    device — (B, T, P, ...) with in-place functional updates — and the
+    neighbourhood gather happens on device from host-computed step indices.
+    """
+
+    def __init__(self, batch: int, max_steps: int, num_points: int,
+                 feat_dim: int):
+        import jax.numpy as jnp
+
+        self.pc = jnp.zeros((batch, max_steps, num_points, 3), jnp.float32)
+        self.valid = jnp.zeros((batch, max_steps, num_points), bool)
+        self.feats = jnp.zeros(
+            (batch, max_steps, num_points, feat_dim), jnp.bfloat16
+        )
+        self._update = jax.jit(
+            lambda buf, t, x: buf.at[:, t].set(x),
+            static_argnums=1,
+            donate_argnums=0,
+        )
+
+    def set_step(self, t: int, pc, valid, feats):
+        self.pc = self._update(self.pc, t, jnp.asarray(pc, jnp.float32))
+        self.valid = self._update(self.valid, t, jnp.asarray(valid, bool))
+        self.feats = self._update(self.feats, t, jnp.asarray(feats, jnp.bfloat16))
+
+
+def gather_and_splat(projector, pc_buf, valid_buf, feat_buf,
+                     step_sel, step_ok, T_w2c, S_w2c):
+    """Device-side neighbourhood gather + egocentric splat.
+
+    pc_buf (B, T, P, 3); step_sel (B, S) step indices per sample;
+    step_ok (B, S) slot validity. Returns bev features (B, cells, C).
+    """
+    idx = step_sel[:, :, None, None]
+    pc = jnp.take_along_axis(pc_buf, idx, axis=1)
+    valid = jnp.take_along_axis(valid_buf, step_sel[:, :, None], axis=1)
+    feats = jnp.take_along_axis(feat_buf, idx, axis=1)
+    b, s, p, _ = pc.shape
+    pc = pc.reshape(b, s * p, 3)
+    valid = (valid & step_ok[:, :, None]).reshape(b, s * p)
+    feats = feats.reshape(b, s * p, -1)
+    cell, geo_ok = projector.ego_cells(pc, T_w2c, S_w2c)
+    bev, _, _, _ = projector.splat(cell, valid & geo_ok, feats)
+    return bev
+
+
 class GMapNavAgent:
     def __init__(self, cfg: FinetuneConfig, env: R2RNavBatch, seed: int = 0):
         self.cfg = cfg
@@ -202,14 +253,10 @@ class GMapNavAgent:
             f = jax.jit(lambda p, b: model.apply({"params": p}, "navigation", b))
         elif name == "lift":
             f = jax.jit(self.projector.lift)
-        elif name == "splat":
+        elif name == "gather_splat":
+            import functools
 
-            def splat(pc, valid, feats, T_w2c, S_w2c):
-                cell, geo_ok = self.projector.ego_cells(pc, T_w2c, S_w2c)
-                bev, occ, _, _ = self.projector.splat(cell, valid & geo_ok, feats)
-                return bev
-
-            f = jax.jit(splat)
+            f = jax.jit(functools.partial(gather_and_splat, self.projector))
         elif name == "loss_grad":
             f = jax.jit(jax.value_and_grad(self._episode_loss))
         elif name == "update":
@@ -326,7 +373,13 @@ class GMapNavAgent:
         if with_objects:
             xs_keys += ["obj_lens", "obj_targets"]
         xs = {k: rb[k] for k in xs_keys}
-        total, _ = jax.lax.scan(step_loss, jnp.zeros((), jnp.float32), xs)
+        # remat the per-step navigation forward: at full scale the scan would
+        # otherwise store every step's cross-modal activations for the
+        # backward (bev branch alone is ~50MB/step) and OOM a single chip;
+        # recomputing trades ~1/3 more FLOPs for O(1) residency
+        total, _ = jax.lax.scan(
+            jax.checkpoint(step_loss), jnp.zeros((), jnp.float32), xs
+        )
         return total * self.cfg.ml_weight / B
 
     # ------------------------------------------------------------- variables
@@ -424,10 +477,18 @@ class GMapNavAgent:
         T = se3_from_xyzhe(xyzhe.reshape(-1, 5)).reshape(B, nv, 4, 4)
         depths = np.stack([ob["depth"] for ob in obs]).astype(np.float32) * 10.0
         pc, no_depth = self._fn("lift")(depths, T)
-        feats = np.stack([ob["rgb"] for ob in obs]).reshape(
-            B, -1, self.cfg.model.bev_grid_feat_size
+        feats = jax.device_put(
+            np.stack([ob["rgb"] for ob in obs]).reshape(
+                B, -1, self.cfg.model.bev_grid_feat_size
+            )
         )
-        return np.asarray(pc), np.asarray(~no_depth), feats
+        return pc, ~no_depth, feats  # device arrays
+
+    def _make_pc_store(self, B: int) -> DevicePcStore:
+        return DevicePcStore(
+            B, self.cfg.max_action_len, self.cfg.shapes.num_points,
+            self.cfg.model.bev_grid_feat_size,
+        )
 
     @property
     def num_pano_slots(self) -> int:
@@ -499,18 +560,17 @@ class GMapNavAgent:
                         out["gmap_agg"][i, node, t * V + slot] += w
         return out
 
-    def _nav_bev_variable(self, obs, gmaps, pc_store):
-        """Gather neighbourhood point clouds, splat to egocentric BEV, map
-        candidates to cells (ref agent.py:269-337)."""
+    def _nav_bev_variable(self, obs, gmaps, pc_store: DevicePcStore):
+        """Gather neighbourhood point clouds (device-side, from the
+        DevicePcStore), splat to egocentric BEV, map candidates to cells
+        (ref agent.py:269-337)."""
         sh, m = self.cfg.shapes, self.cfg.model
         B = len(obs)
         C, K = m.num_bev_tokens, sh.max_local_len
-        P = sh.num_points
         S_max = sh.max_pc_steps
         A = m.angle_feat_size
-        pc = np.zeros((B, S_max * P, 3), np.float32)
-        valid = np.zeros((B, S_max * P), bool)
-        feats = np.zeros((B, S_max * P, m.bev_grid_feat_size), np.float32)
+        step_sel = np.zeros((B, S_max), np.int32)
+        step_ok = np.zeros((B, S_max), bool)
         S_w2c = np.zeros((B, 3), np.float32)
         T_w2c = np.zeros((B, 4, 4), np.float32)
         bev_nav_masks = np.zeros((B, C), bool)
@@ -520,11 +580,8 @@ class GMapNavAgent:
         bev_pos_fts = np.zeros((B, C, A + 3 + 3), np.float32)
         for i, (ob, gmap) in enumerate(zip(obs, gmaps)):
             steps = gmap.gather_pc_steps(ob["viewpoint"], self.cfg.pc_order)[-S_max:]
-            for s_i, t in enumerate(steps):
-                sl = slice(s_i * P, (s_i + 1) * P)
-                pc[i, sl] = pc_store["pc"][t][i]
-                valid[i, sl] = pc_store["valid"][t][i]
-                feats[i, sl] = pc_store["feats"][t][i]
+            step_sel[i, : len(steps)] = steps
+            step_ok[i, : len(steps)] = True
             x, y, z = ob["position"]
             S_w2c[i] = [x, z, -y]
             T_w2c[i] = se3_from_xyzhe(
@@ -548,7 +605,10 @@ class GMapNavAgent:
             )[0]
             bev_pos_fts[i, :, : A + 3] = gpos
             bev_pos_fts[i, :, A + 3 :] = self.polar
-        bev_fts = self._fn("splat")(pc, valid, feats, T_w2c, S_w2c)
+        bev_fts = self._fn("gather_splat")(
+            pc_store.pc, pc_store.valid, pc_store.feats,
+            step_sel, step_ok, T_w2c, S_w2c,
+        )
         return {
             "bev_fts": bev_fts,
             "bev_pos_fts": bev_pos_fts,
@@ -668,7 +728,7 @@ class GMapNavAgent:
         ended = np.zeros(B, bool)
         just_ended = np.zeros(B, bool)
         pano_store = {"view_lens": {}, "obj_lens": {}, "embeds": {}}
-        pc_store = {"pc": {}, "valid": {}, "feats": {}}
+        pc_store = self._make_pc_store(B)
         records: List[StepRecord] = []
 
         for t in range(T):
@@ -685,9 +745,7 @@ class GMapNavAgent:
             pano_store["embeds"][t] = pano_np
 
             pc, pc_valid, pc_feats = self.lift(obs)
-            pc_store["pc"][t] = pc
-            pc_store["valid"][t] = pc_valid
-            pc_store["feats"][t] = pc_feats
+            pc_store.set_step(t, pc, pc_valid, pc_feats)
 
             for i, gmap in enumerate(gmaps):
                 if ended[i]:
