@@ -149,3 +149,16 @@ def test_argmax_eval_runs(nav_world):
     avg, _ = env.eval_metrics(preds)
     assert 0 <= avg["sr"] <= 100
     assert avg["nav_error"] >= 0
+
+
+def test_ndtw_expert_policy(nav_world):
+    """R4R-style fidelity expert: teacher targets come from nDTW deltas
+    (ref _teacher_action_r4r expert_policy=ndtw, agent.py:400-406)."""
+    env, agent = nav_world
+    orig = agent.cfg.expert_policy
+    agent.cfg.expert_policy = "ndtw"
+    try:
+        trajs, loss = agent.rollout(feedback="sample", train=True)
+        assert loss is not None and np.isfinite(loss)
+    finally:
+        agent.cfg.expert_policy = orig

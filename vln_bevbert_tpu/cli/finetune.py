@@ -150,10 +150,16 @@ def main(argv=None):
         avg, _ = val_env.eval_metrics(preds)
         logger.log(step, {f"{tag}/{k}": v for k, v in avg.items()})
         with open(os.path.join(cfg.output_dir, f"preds_{tag}_{step}.json"), "w") as f:
+            # R2R leaderboard submission format: (viewpoint, heading,
+            # elevation) triples (ref agent_base.py:37, main_nav.py:287-291)
             json.dump(
                 [
-                    {"instr_id": p["instr_id"],
-                     "trajectory": sum(p["trajectory"], [])}
+                    {
+                        "instr_id": p["instr_id"],
+                        "trajectory": [
+                            [vp, 0.0, 0.0] for vp in sum(p["trajectory"], [])
+                        ],
+                    }
                     for p in preds
                 ],
                 f,
