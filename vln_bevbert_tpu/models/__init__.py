@@ -11,8 +11,10 @@ from .encoders import (
     LanguageEncoder,
     LocalBEVEncoder,
 )
+from .clip import ClipVisionTower
+from .depth_encoder import DdppoDepthEncoder
 from .glocal import GlocalTextPathCMT, GlocalTextPathCMTPreTraining
-from .nav import GlocalTextPathNavCMT
+from .nav import Critic, GlocalTextPathNavCMT
 
 __all__ = [
     "BertEmbeddings",
@@ -27,4 +29,7 @@ __all__ = [
     "GlocalTextPathCMT",
     "GlocalTextPathCMTPreTraining",
     "GlocalTextPathNavCMT",
+    "Critic",
+    "ClipVisionTower",
+    "DdppoDepthEncoder",
 ]
