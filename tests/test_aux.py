@@ -157,3 +157,61 @@ def test_trainer_auto_resume(tmp_path):
     restored = trainer2.auto_resume()
     assert restored and restored.endswith("ckpt_2")
     assert int(trainer2.state.step) == 2
+
+
+def test_multilabel_metrics():
+    from vln_bevbert_tpu.utils.mlabel import MP3D_CATEGORIES, binary_auc, multilabel_report
+
+    assert len(MP3D_CATEGORIES) == 40
+    # perfect separation -> AUC 1; anti-separation -> 0; ties -> 0.5
+    assert binary_auc(np.array([0.9, 0.8, 0.1, 0.2]), np.array([1, 1, 0, 0])) == 1.0
+    assert binary_auc(np.array([0.1, 0.2, 0.9, 0.8]), np.array([1, 1, 0, 0])) == 0.0
+    assert binary_auc(np.array([0.5, 0.5, 0.5, 0.5]), np.array([1, 1, 0, 0])) == 0.5
+    assert np.isnan(binary_auc(np.array([0.5, 0.4]), np.array([1, 1])))
+    rng = np.random.default_rng(0)
+    labels = rng.uniform(size=(200, 5)) < 0.3
+    scores = labels * 0.8 + rng.uniform(size=(200, 5)) * 0.3
+    rep = multilabel_report(scores, labels, class_names=list("abcde"))
+    assert rep["auc_macro"] > 0.95
+    assert rep["f1_macro"] > 0.5
+    assert "auc/a" in rep
+
+
+def test_sem_auc_in_validation(tmp_path):
+    """Trainer validation reports macro AUC for semantic tasks."""
+    from vln_bevbert_tpu.configs import (
+        ModelConfig as MC, OptimConfig, PretrainConfig, ShapeConfig,
+    )
+    from vln_bevbert_tpu.data.synthetic import synthetic_pretrain_batch
+    from vln_bevbert_tpu.pretrain import PretrainTrainer
+
+    tiny = MC(vocab_size=300, hidden_size=16, num_attention_heads=2,
+              intermediate_size=32, num_l_layers=1, num_pano_layers=1,
+              num_x_layers=1, image_feat_size=8, bev_grid_feat_size=8,
+              bev_dim=3, dtype="float32", max_position_embeddings=32,
+              num_sem_classes=6)
+    shapes = ShapeConfig(max_txt_len=12, max_steps=2, max_pano_len=6,
+                         max_gmap_len=8, max_local_len=4, max_objects=0,
+                         num_views=2, grid_hw=2, max_masked_tokens=3)
+    cfg = PretrainConfig(model=tiny, shapes=shapes,
+                         optim=OptimConfig(warmup_steps=1, num_train_steps=2),
+                         tasks=("masksem",), mix_ratio=(1,), train_batch_size=2,
+                         valid_steps=0)
+
+    class FakeLoader:
+        def build_batch(self, step, task=None):
+            return "masksem", synthetic_pretrain_batch(
+                np.random.default_rng(step), 2, shapes, tiny, raw_bev=True
+            )
+
+        def __iter__(self):
+            step = 0
+            while True:
+                yield self.build_batch(step)
+                step += 1
+
+    trainer = PretrainTrainer(cfg, FakeLoader(), {"val": FakeLoader()},
+                              output_dir=str(tmp_path))
+    results = trainer.validate(step=0, num_batches=2)
+    assert "val/sem/auc_macro" in results
+    assert "val/masksem/loss" in results

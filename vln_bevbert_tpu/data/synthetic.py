@@ -84,8 +84,10 @@ def synthetic_pretrain_batch(
 
     # ------------------------------------------------------------------ text
     txt_lens = rng.integers(8, min(txt_hi, L) + 1, batch)
-    txt_ids = rng.integers(1996, 29611, (batch, L)).astype(np.int32)
-    txt_ids[:, 0] = 101
+    vocab_hi = min(29611, model.vocab_size)
+    vocab_lo = min(1996, max(vocab_hi - 1, 1))
+    txt_ids = rng.integers(vocab_lo, vocab_hi, (batch, L)).astype(np.int32)
+    txt_ids[:, 0] = min(101, model.vocab_size - 1)
     txt_masks = np.arange(L)[None, :] < txt_lens[:, None]
     txt_ids[~txt_masks] = 0
     out.update(txt_ids=txt_ids, txt_masks=txt_masks)

@@ -130,17 +130,72 @@ class PretrainTrainer:
         results = {}
         for split, loader in self.val_loaders.items():
             agg = defaultdict(list)
+            sem_scores, sem_labels = [], []
             for i, task in enumerate(self.cfg.tasks):
                 base = task.split("_")[0]
                 for j in range(num_batches):
                     _, batch = loader.build_batch(i * num_batches + j, task=task)
-                    _, metrics = self.eval_step(batch, base)
+                    loss, metrics = self.eval_step(batch, base)
+                    agg[f"{split}/{base}/loss"].append(float(loss))
                     for k, v in metrics.items():
                         agg[f"{split}/{base}/{k}"].append(float(v))
+                    if base in ("sem", "masksem"):
+                        s, l = self.sem_predictions(batch, base)
+                        sem_scores.append(s)
+                        sem_labels.append(l)
             results.update({k: float(np.mean(v)) for k, v in agg.items()})
+            if sem_scores:
+                # per-class / macro AUC over masked cells (ref validate_sem,
+                # train_r2r.py:430-510)
+                from ..utils.mlabel import MP3D_CATEGORIES, multilabel_report
+
+                report = multilabel_report(
+                    np.concatenate(sem_scores),
+                    np.concatenate(sem_labels),
+                    class_names=MP3D_CATEGORIES[
+                        : self.cfg.model.num_sem_classes
+                    ],
+                )
+                results[f"{split}/sem/auc_macro"] = report["auc_macro"]
+                results[f"{split}/sem/f1_macro"] = report["f1_macro"]
         if results:
             self.logger.log(step, results)
         return results
+
+    def sem_predictions(self, batch, task: str):
+        """(scores, labels) at supervised BEV cells for AUC reporting."""
+        import jax.nn
+
+        from ..parallel.train_step import prepare_bev
+
+        if not hasattr(self, "_sem_fn"):
+            model, projector = self.model, self.projector
+
+            def fn(params, b, t):
+                b = prepare_bev(projector, dict(b))
+                if t == "masksem":
+                    import jax.numpy as jnp
+
+                    b["bev_fts"] = jnp.where(
+                        b["bev_mrc_masks"][..., None], 0.0, b["bev_fts"]
+                    )
+                embeds = model.apply(
+                    {"params": params}, b, model.sem_pred_token,
+                    method=lambda m, bb, tok: m.bert.forward_sem(bb, tok),
+                )
+                logits = model.apply(
+                    {"params": params}, embeds,
+                    method=lambda m, e: m.local_sem_head(e),
+                )
+                sel = b["bev_sem_masks"]
+                if t == "masksem":
+                    sel = sel & b["bev_mrc_masks"]
+                return jax.nn.sigmoid(logits), b["bev_sems"], sel
+
+            self._sem_fn = jax.jit(fn, static_argnames=("t",))
+        scores, labels, sel = self._sem_fn(self.state.params, batch, task)
+        sel = np.asarray(sel)
+        return np.asarray(scores)[sel], np.asarray(labels)[sel]
 
     def eval_step(self, batch, task: str):
         from ..parallel.train_step import prepare_bev
