@@ -85,6 +85,53 @@ def test_dp_equals_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_finetune_replay_dp_equals_single_device():
+    """The mesh-sharded fine-tune replay update (learn_from_bundle) must match
+    the single-device update on an identical global batch — the TPU analogue
+    of the reference's fine-tune DDP (agent_base.py:121-123)."""
+    from vln_bevbert_tpu.configs import FinetuneConfig
+    from vln_bevbert_tpu.data.synthetic import synthetic_replay_bundle
+    from vln_bevbert_tpu.nav.agent import make_replay_agent
+
+    ft_shapes = ShapeConfig(
+        max_txt_len=16, max_steps=3, max_pano_len=6, max_gmap_len=8,
+        max_local_len=4, max_objects=0, num_views=2, grid_hw=4, max_pc_steps=2,
+    )
+    cfg = FinetuneConfig(
+        model=TINY, shapes=ft_shapes, batch_size=8, max_action_len=3,
+        learning_rate=1e-3,
+    )
+    rb = synthetic_replay_bundle(np.random.default_rng(11), cfg, 8)
+    T = rb["targets"].shape[0]
+    keys = jax.random.split(jax.random.key(7), T + 2)
+    rb = dict(rb, rng=keys[:T], rng_lang=keys[T], rng_pano=keys[T + 1])
+
+    a1 = make_replay_agent(cfg, batch_size=8, mesh=None, seed=0)
+    loss1, g1 = a1._fn("loss_grad")(a1.params, rb)
+
+    from vln_bevbert_tpu.parallel.mesh import shard_replay_bundle
+
+    mesh = make_mesh(jax.devices()[:8])
+    a8 = make_replay_agent(cfg, batch_size=8, mesh=mesh, seed=0)
+    loss8, g8 = a8._fn("loss_grad")(a8.params, shard_replay_bundle(mesh, rb))
+
+    # identical loss and gradients (up to f32 reduction-order noise): the
+    # psum'd sharded grads equal the single-device grads, which is the
+    # invariant DDP provides the reference. Post-Adam params are NOT compared
+    # tightly — adam normalises near-zero grads by ~eps, amplifying reduction
+    # noise on unsupervised leaves to O(lr).
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+    # and the full update path runs under the mesh
+    loss_step = a8.learn_from_bundle({k: v for k, v in rb.items()
+                                      if not k.startswith("rng")})
+    assert np.isfinite(loss_step)
+
+
 def test_loss_decreases_over_steps():
     cfg = tiny_cfg(learning_rate=1e-3)
     batch = make_batch(8, seed=5)

@@ -37,8 +37,8 @@ from .waypoint_predictor import WaypointPredictor, extract_waypoints
 class CEAgent(GMapNavAgent):
     def __init__(self, cfg: FinetuneConfig, env: SyntheticContinuousEnv,
                  seed: int = 0, loc_noise: float = 0.5, ghost_aug: float = 0.0,
-                 sample_ratio: float = 0.75):
-        super().__init__(cfg, env, seed=seed)
+                 sample_ratio: float = 0.75, mesh=None):
+        super().__init__(cfg, env, seed=seed, mesh=mesh)
         self.loc_noise = loc_noise
         self.ghost_aug = ghost_aug
         self.sample_ratio = sample_ratio

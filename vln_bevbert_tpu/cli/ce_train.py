@@ -48,6 +48,16 @@ def main(argv=None):
         cfg.model.bev_dim = 11
         cfg.model.bev_res = 1.0
 
+    # cfg.batch_size is per chip; scale to the global batch for the dp mesh
+    # (ref CE trains DDP with 8 envs/rank, ss_trainer_BEV.py:247-251)
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    n_dev = jax.device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+    cfg.batch_size = cfg.batch_size * n_dev
+
     rng = np.random.default_rng(cfg.seed)
     episodes = make_synthetic_ce_episodes(rng, n=args.n_episodes)
     env = SyntheticContinuousEnv(
@@ -57,7 +67,8 @@ def main(argv=None):
         view_feat_size=cfg.model.image_feat_size,
         seed=cfg.seed,
     )
-    agent = CEAgent(cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio)
+    agent = CEAgent(cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio,
+                    mesh=mesh)
     pretrained = None
     if args.pretrain_ckpt:
         import orbax.checkpoint as ocp

@@ -129,8 +129,19 @@ def main(argv=None):
         cfg.expert_policy = "ndtw"
         cfg.ml_weight = 0.8
 
+    # cfg.batch_size is per chip; the envs run the global batch and the
+    # replay update shards it over the dp mesh (ref fine-tunes 4-GPU DDP,
+    # agent_base.py:121-123)
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    n_dev = jax.device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+    cfg.batch_size = cfg.batch_size * n_dev
+
     train_env, val_env = build_envs(cfg, args)
-    agent = GMapNavAgent(cfg, train_env, seed=cfg.seed)
+    agent = GMapNavAgent(cfg, train_env, seed=cfg.seed, mesh=mesh)
 
     pretrained = None
     if args.pretrain_ckpt:

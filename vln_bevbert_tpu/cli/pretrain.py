@@ -155,14 +155,14 @@ def main(argv=None):
 
     import jax
 
+    # train_batch_size is per chip; the loader scales it to the global batch
+    # (per_chip x n_dev), matching the reference's per-GPU batch under DDP
     n_dev = jax.device_count()
-    mesh = (
-        make_mesh()
-        if n_dev > 1 and cfg.train_batch_size % n_dev == 0
-        else None
+    mesh = make_mesh() if n_dev > 1 else None
+    train_loader = PretrainLoader(nav_db, cfg, seed=cfg.seed, n_devices=n_dev)
+    val_loader = PretrainLoader(
+        val_db, cfg, seed=cfg.seed + 1, prefetch=0, n_devices=n_dev
     )
-    train_loader = PretrainLoader(nav_db, cfg, seed=cfg.seed)
-    val_loader = PretrainLoader(val_db, cfg, seed=cfg.seed + 1, prefetch=0)
     trainer = PretrainTrainer(cfg, train_loader, {"val_unseen": val_loader}, mesh=mesh)
 
     if args.init_bert:

@@ -81,9 +81,14 @@ class PretrainLoader:
         seed: int = 0,
         rank: int = 0,
         prefetch: int = 2,
+        n_devices: int = 1,
     ):
+        """``cfg.train_batch_size`` is PER CHIP (matching the reference's
+        per-GPU batch, configs/r2r_pretrain.json:8); the loader builds the
+        global batch = per_chip x n_devices for the dp mesh to shard."""
         self.nav_db = nav_db
         self.cfg = cfg
+        self.n_devices = max(int(n_devices), 1)
         self.meta = MetaLoader(
             cfg.tasks, cfg.mix_ratio, seed,
             block_size=getattr(cfg, "task_block_size", 1),
@@ -91,13 +96,17 @@ class PretrainLoader:
         self.rng = np.random.default_rng((seed, rank, 17))
         self.prefetch = prefetch
 
+    @property
+    def global_batch_size(self) -> int:
+        return self.cfg.train_batch_size * self.n_devices
+
     def build_batch(
         self, step: int, task: Optional[str] = None
     ) -> Tuple[str, Dict[str, np.ndarray]]:
         if task is None:
             task = self.meta.task_for_step(step)
         base = task.split("_")[0]
-        idxs = self.rng.integers(0, len(self.nav_db), self.cfg.train_batch_size)
+        idxs = self.rng.integers(0, len(self.nav_db), self.global_batch_size)
         examples = [
             self.nav_db.get_input(
                 int(i),

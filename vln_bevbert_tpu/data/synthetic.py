@@ -274,3 +274,105 @@ def synthetic_pretrain_batch(
         out["obj_mrc_masks"] = rng.uniform(size=(batch, O)) < 0.3
 
     return out
+
+
+def synthetic_replay_bundle(
+    rng: np.random.Generator, cfg, batch: int
+) -> Dict[str, np.ndarray]:
+    """A structurally valid fine-tune replay bundle (the tensor dict
+    GMapNavAgent._learn stacks from rollout StepRecords, nav/agent.py) —
+    step-leading (T, B, ...) tensors with consistent masks/targets, for
+    sharding/equality tests and the multichip dryrun without an env.
+    """
+    sh, m = cfg.shapes, cfg.model
+    T = cfg.max_action_len
+    V = sh.max_pano_len
+    with_objects = m.obj_feat_size > 0
+    O = sh.max_objects if with_objects else 0
+    P = V + O
+    N, K, C, A = sh.max_gmap_len, sh.max_local_len, m.num_bev_tokens, m.angle_feat_size
+    IGNORE = -100
+
+    L = min(32, sh.max_txt_len)
+    txt_lens = rng.integers(4, L + 1, batch)
+    txt_ids = rng.integers(1, min(4000, m.vocab_size), (batch, L)).astype(np.int32)
+    txt_masks = np.arange(L)[None, :] < txt_lens[:, None]
+    txt_ids[~txt_masks] = 0
+
+    steps = rng.integers(max(1, T - 2), T + 1, batch)  # active steps per sample
+    view_lens = rng.integers(2, V + 1, (T, batch)).astype(np.int32)
+    cand_counts = np.minimum(
+        rng.integers(1, min(K, V), (T, batch)), view_lens
+    )
+    nav_types = np.zeros((T, batch, P), np.int32)
+    gmap_lens = np.minimum(2 + rng.integers(0, N - 1, (T, batch)), N)
+    rb: Dict[str, np.ndarray] = {
+        "view_fts": rng.normal(size=(T, batch, V, m.image_feat_size)).astype(np.float32),
+        "loc_fts": rng.normal(size=(T, batch, P, A + 3)).astype(np.float32),
+        "nav_types": nav_types,
+        "view_lens": view_lens,
+        "gmap_agg": np.zeros((T, batch, N, T * P), np.float32),
+        "gmap_step_ids": rng.integers(
+            0, m.max_action_steps, (T, batch, N)
+        ).astype(np.int32),
+        "gmap_pos_fts": rng.normal(size=(T, batch, N, A + 3)).astype(np.float32),
+        "gmap_masks": np.zeros((T, batch, N), bool),
+        "gmap_visited_masks": np.zeros((T, batch, N), bool),
+        "gmap_pair_dists": np.zeros((T, batch, N, N), np.float32),
+        "bev_fts": rng.normal(size=(T, batch, C, m.bev_grid_feat_size)).astype(np.float32),
+        "bev_pos_fts": rng.normal(size=(T, batch, C, A + 6)).astype(np.float32),
+        "bev_nav_masks": np.zeros((T, batch, C), bool),
+        "bev_cand_idxs": np.zeros((T, batch, K), np.int32),
+        "local_masks": np.zeros((T, batch, K), bool),
+        "fuse_map": np.zeros((T, batch, N, K), np.float32),
+        "targets": np.full((T, batch), IGNORE, np.int64),
+        "txt_ids": txt_ids,
+        "txt_masks": txt_masks,
+        "step_idx": np.arange(T, dtype=np.int32),
+    }
+    if with_objects:
+        rb["obj_fts"] = rng.normal(size=(T, batch, O, m.obj_feat_size)).astype(np.float32)
+        rb["obj_lens"] = rng.integers(0, O + 1, (T, batch)).astype(np.int32)
+        rb["obj_targets"] = np.full((T, batch), IGNORE, np.int64)
+    for t in range(T):
+        for b in range(batch):
+            if t >= steps[b]:
+                # padded step: fully masked, targets ignored — mirror
+                # _learn's zero padding
+                view_lens[t, b] = 0
+                rb["gmap_step_ids"][t, b] = 0
+                continue
+            nc = int(cand_counts[t, b])
+            nav_types[t, b, :nc] = 1
+            n = int(gmap_lens[t, b])
+            rb["gmap_masks"][t, b, :n] = True
+            n_vis = max(1, n // 2)
+            rb["gmap_visited_masks"][t, b, 1 : 1 + n_vis] = True
+            d = rng.uniform(0, 1, (N, N)).astype(np.float32)
+            d = (d + d.T) / 2
+            np.fill_diagonal(d, 0)
+            rb["gmap_pair_dists"][t, b] = d
+            # aggregation rows: true means over earlier steps' pano slots
+            for node in range(1, n):
+                src_t = rng.integers(0, t + 1)
+                vl = max(int(view_lens[src_t, b]), 1)
+                rb["gmap_agg"][t, b, node, src_t * P : src_t * P + vl] = 1.0 / vl
+            rb["gmap_agg"][t, b, 0, t * P] = 1.0  # [stop] token
+            cells = rng.choice(C, size=nc, replace=False)
+            rb["bev_cand_idxs"][t, b, 0] = m.bev_center
+            rb["bev_cand_idxs"][t, b, 1 : 1 + nc] = cells
+            rb["local_masks"][t, b, : 1 + nc] = True
+            rb["bev_nav_masks"][t, b, cells] = True
+            rb["bev_nav_masks"][t, b, m.bev_center] = True
+            rb["fuse_map"][t, b, 0, 0] = 1.0
+            for j in range(1 + n_vis, n):
+                rb["fuse_map"][t, b, j, 1 + rng.integers(0, nc)] = 1.0
+            rb["targets"][t, b] = (
+                0 if rng.uniform() < 0.2 else int(1 + n_vis + rng.integers(0, max(n - 1 - n_vis, 1))) % n
+            )
+            if with_objects:
+                ol = int(rb["obj_lens"][t, b])
+                if ol:
+                    nav_types[t, b, V : V + ol] = 2
+                    rb["obj_targets"][t, b] = rng.integers(0, ol)
+    return rb

@@ -127,9 +127,20 @@ def gather_and_splat(projector, pc_buf, valid_buf, feat_buf,
 
 
 class GMapNavAgent:
-    def __init__(self, cfg: FinetuneConfig, env: R2RNavBatch, seed: int = 0):
+    def __init__(self, cfg: FinetuneConfig, env: R2RNavBatch, seed: int = 0,
+                 mesh=None):
+        """``mesh``: optional dp Mesh — the replay update then runs
+        data-parallel with replicated params and a batch-sharded bundle (the
+        reference fine-tunes under DDP, agent_base.py:121-123; env.batch_size
+        is the GLOBAL batch and must divide by the mesh size)."""
         self.cfg = cfg
         self.env = env
+        self.mesh = mesh
+        if mesh is not None and env is not None:
+            n_dev = mesh.devices.size
+            assert env.batch_size % n_dev == 0, (
+                f"global batch {env.batch_size} not divisible by mesh size {n_dev}"
+            )
         self.model = GlocalTextPathNavCMT(cfg.model)
         self.projector = BevProjector(
             vfov=math.radians(90.0),
@@ -207,6 +218,11 @@ class GMapNavAgent:
             optax.adamw(self.cfg.learning_rate, weight_decay=self.cfg.weight_decay),
         )
         self.opt_state = self.tx.init(self.params)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate_tree
+
+            self.params = replicate_tree(self.mesh, self.params)
+            self.opt_state = replicate_tree(self.mesh, self.opt_state)
         return self.params
 
     def _dummy_nav_batch(self, B):
@@ -998,6 +1014,10 @@ class GMapNavAgent:
         rb["rng"] = keys[:T]
         rb["rng_lang"] = keys[T]
         rb["rng_pano"] = keys[T + 1]
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_replay_bundle
+
+            rb = shard_replay_bundle(self.mesh, rb)
         # padded steps are fully masked (attn bias NEG_INF, targets ignored)
         loss, grads = self._fn("loss_grad")(self.params, rb)
         self.params, self.opt_state = self._fn("update")(
@@ -1048,3 +1068,46 @@ class GMapNavAgent:
                 if loss is not None:
                     losses.append(loss)
         return losses
+
+
+class _EnvStub:
+    """Just enough env surface for init_params/learn_from_bundle."""
+
+    def __init__(self, batch_size: int):
+        self.batch_size = batch_size
+
+
+def make_replay_agent(cfg: FinetuneConfig, batch_size: int, mesh=None,
+                      seed: int = 0) -> "GMapNavAgent":
+    """An env-less agent for replay-only training (recollection stores,
+    sharding tests, the driver's multichip dryrun)."""
+    agent = GMapNavAgent(cfg, _EnvStub(batch_size), seed=seed, mesh=mesh)
+    agent.init_params()
+    return agent
+
+
+def _dryrun_finetune_step(mesh, n_devices: int) -> None:
+    """One mesh-sharded replay update at flagship width (hidden 768) with
+    reduced depth/shapes — called from __graft_entry__.dryrun_multichip."""
+    from ..configs import ModelConfig, ShapeConfig
+    from ..data.synthetic import synthetic_replay_bundle
+
+    model_cfg = ModelConfig(
+        vocab_size=4096, hidden_size=768, num_attention_heads=12,
+        intermediate_size=3072, num_l_layers=1, num_pano_layers=1,
+        num_x_layers=1, image_feat_size=768, bev_grid_feat_size=768,
+        bev_dim=5, dtype="float32", max_position_embeddings=64,
+    )
+    shapes = ShapeConfig(
+        max_txt_len=32, max_steps=4, max_pano_len=8, max_gmap_len=8,
+        max_local_len=4, max_objects=0, num_views=4, grid_hw=4,
+        max_pc_steps=2,
+    )
+    cfg = FinetuneConfig(
+        model=model_cfg, shapes=shapes, batch_size=2 * n_devices,
+        max_action_len=3, learning_rate=1e-4,
+    )
+    agent = make_replay_agent(cfg, batch_size=2 * n_devices, mesh=mesh)
+    rb = synthetic_replay_bundle(np.random.default_rng(0), cfg, 2 * n_devices)
+    loss = agent.learn_from_bundle(rb)
+    assert np.isfinite(loss), loss

@@ -39,6 +39,39 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "dp") -> dict:
     }
 
 
+#: replay-bundle keys that are per-step schedule/rng state, not batched data
+_BUNDLE_REPLICATED = ("step_idx", "rng", "rng_lang", "rng_pano")
+#: replay-bundle keys with a leading batch axis (everything else is (T, B, …))
+_BUNDLE_BATCH_LEADING = ("txt_ids", "txt_masks")
+
+
+def shard_replay_bundle(mesh: Mesh, rb: dict, axis: str = "dp") -> dict:
+    """Device-put a fine-tune replay bundle over the dp mesh.
+
+    Step-leading tensors (T, B, ...) shard on their batch axis (axis 1); text
+    tensors (B, L) on axis 0; step-index/rng arrays replicate. With params
+    replicated, jitting the replay update over these inputs makes XLA insert
+    the gradient all-reduce — the TPU equivalent of the reference's fine-tune
+    DDP wrapper (/root/reference/map_nav_src/r2r/agent_base.py:121-123).
+    """
+    out = {}
+    for k, v in rb.items():
+        if k in _BUNDLE_REPLICATED:
+            spec = P()
+        elif k in _BUNDLE_BATCH_LEADING:
+            spec = P(axis)
+        else:
+            spec = P(None, axis)
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Device-put an arbitrary pytree fully replicated over the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
 def device_prefetch(iterator, mesh: Optional[Mesh] = None, depth: int = 2):
     """Overlap host->device transfer with device compute: keep `depth`
     batches already device_put ahead of consumption (the reference's

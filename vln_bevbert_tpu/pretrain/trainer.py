@@ -105,7 +105,7 @@ class PretrainTrainer:
             task, batch = next(it)
             base = task.split("_")[0]
             self.state, metrics = self.step_fn(self.state, batch, self.rng, base)
-            n_examples += cfg.train_batch_size
+            n_examples += self.train_loader.global_batch_size
             step = int(self.state.step)
             for k, v in metrics.items():
                 meters[f"{base}/{k}"].update(float(v))
