@@ -29,6 +29,7 @@ import numpy as np
 
 A100_BF16_PEAK = 312e12
 ASSUMED_REF_MFU = 0.20
+V5E_BF16_PEAK = 197e12  # TPU v5e (v5 lite) bf16 peak per chip
 
 
 def main():
@@ -51,7 +52,9 @@ def main():
     step = make_pretrain_step(model, projector, None)
 
     batch = {k: jax.device_put(v) for k, v in batch.items()}
-    key = jax.random.key(0)
+    from vln_bevbert_tpu.utils.rng import train_key
+
+    key = train_key(0)  # rbg keys: hardware RNG for dropout masks
 
     # exactly the 5:5:1 task mix, grouped as the block-scheduled MetaLoader
     # runs it (task_block_size amortises executable switches)
@@ -89,6 +92,10 @@ def main():
     v5e8_total = samples_per_sec * 8
     ref_4xa100_total = ref_a100_samples_per_sec * 4
 
+    # measured model-FLOPs utilisation of this chip: XLA cost-analysis FLOPs
+    # of the compiled steps actually executed, over wall time
+    mfu = samples_per_sec * flops_per_sample / V5E_BF16_PEAK
+
     print(
         json.dumps(
             {
@@ -96,6 +103,9 @@ def main():
                 "value": round(samples_per_sec, 2),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(v5e8_total / ref_4xa100_total, 3),
+                "mfu": round(mfu, 4),
+                "flops_per_sample": round(flops_per_sample / 1e9, 2),
+                "flops_unit": "GFLOP (XLA cost analysis, fwd+bwd+opt)",
             }
         )
     )

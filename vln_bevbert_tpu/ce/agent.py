@@ -11,10 +11,13 @@ replay loss as the discrete agent.
 
 Documented deltas from the reference (host-side, non-compute):
 - candidate pano tokens take the nearest camera's view feature (the reference
-  interpolates neighbouring views);
-- action execution teleports through the ghost's nearest front node (the
-  reference optionally runs low-level control with collision 'tryout';
-  that path belongs to a real habitat binding of ContinuousEnv).
+  interpolates neighbouring views).
+
+Eval-mode action execution matches the reference: with
+``cfg.ce_back_algo == 'control'`` the agent back-tracks along the map and
+walks to the chosen ghost with turn-discretized low-level control including
+'tryout' collision recovery (ce/control.py); training rollouts teleport, as
+the reference does.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ import numpy as np
 from ..configs import FinetuneConfig
 from ..geometry import angle_features, bev_polar_pos, se3_from_xyzhe
 from ..nav.agent import IGNORE_ID, GMapNavAgent, StepRecord
+from .control import LowLevelController
 from .env import SUCCESS_DISTANCE, SyntheticContinuousEnv
 from .geometry_ce import heading_from_quaternion
 from .graph_map import CEGraphMap
@@ -307,10 +311,16 @@ class CEAgent(GMapNavAgent):
         embed_refs: List[Dict[str, list]] = [dict() for _ in range(B)]
         prev_vp: List[Optional[str]] = [None] * B
         walked = [[obs[i]["position"].copy()] for i in range(B)]
+        headings = [[float(obs[i]["heading"])] for i in range(B)]
         traj = [
-            {"instr_id": ob["instr_id"], "positions": walked[i]}
+            {"instr_id": ob["instr_id"], "positions": walked[i],
+             "headings": headings[i]}
             for i, ob in enumerate(obs)
         ]
+
+        def log_move(i, positions):
+            walked[i].extend(positions)
+            headings[i].extend([float(env.headings[i])] * len(positions))
 
         lang = self._language_variable(obs)
         txt_embeds = self._fn("language")(self.params, lang)
@@ -318,6 +328,10 @@ class CEAgent(GMapNavAgent):
         pano_store = {"view_lens": {}, "embeds": {}}
         pc_store = self._make_pc_store(B)
         records: List[StepRecord] = []
+        # eval-mode low-level control (ref runs HIGHTOLOW control at eval,
+        # teleport during training rollouts — ss_trainer_BEV.py:1108-1179)
+        use_control = (not train) and cfg.ce_back_algo == "control"
+        ctrl = LowLevelController(env, self.np_rng) if use_control else None
 
         for t in range(T):
             # 1. waypoint prediction (frozen)
@@ -452,6 +466,14 @@ class CEAgent(GMapNavAgent):
                     or t == T - 1
                     or choice == IGNORE_ID
                 )
+                cur_vp = nav_g["cur_vps"][i]
+
+                def back_path_to(dest_vp):
+                    if dest_vp == cur_vp:
+                        return None
+                    vps = gmap.graph.path(cur_vp, dest_vp)
+                    return [(p, gmap.node_pos[p]) for p in vps]
+
                 if stop:
                     # stop-node redirect to the best stop score
                     best_vp, best_sc = None, -math.inf
@@ -460,11 +482,19 @@ class CEAgent(GMapNavAgent):
                             best_vp, best_sc = vp, sc
                     if (
                         best_vp is not None
-                        and best_vp != nav_g["cur_vps"][i]
+                        and best_vp != cur_vp
                         and feedback == "argmax"
                     ):
-                        env.teleport(i, gmap.node_pos[best_vp])
-                        walked[i].append(gmap.node_pos[best_vp].copy())
+                        if use_control:
+                            log_move(i, ctrl.execute(i, {
+                                "act": 0,
+                                "back_path": back_path_to(best_vp),
+                                "stop_pos": gmap.node_pos[best_vp],
+                                "tryout": cfg.ce_tryout,
+                            }))
+                        else:
+                            env.teleport(i, gmap.node_pos[best_vp])
+                            log_move(i, [gmap.node_pos[best_vp].copy()])
                     env.stop(i)
                     ended[i] = True
                     continue
@@ -476,16 +506,27 @@ class CEAgent(GMapNavAgent):
                     continue
                 front_dis, front_vp = gmap.front_to_ghost_dist(vp)
                 target_pos = gmap.ghost_mean_pos[vp].copy()
-                # travel through the front node (teleport surrogate for the
-                # reference's back_path control)
-                if front_vp != nav_g["cur_vps"][i]:
-                    walked[i].append(gmap.node_pos[front_vp].copy())
-                heading = math.atan2(
-                    -(target_pos[0] - gmap.node_pos[front_vp][0]),
-                    -(target_pos[2] - gmap.node_pos[front_vp][2]),
-                ) % (2 * math.pi)
-                env.teleport(i, target_pos, heading)
-                walked[i].append(target_pos.copy())
+                if use_control:
+                    # back to the front node along the map, then low-level
+                    # control to the ghost (ref environments.py:449-460)
+                    log_move(i, ctrl.execute(i, {
+                        "act": 4,
+                        "back_path": back_path_to(front_vp),
+                        "front_pos": gmap.node_pos[front_vp],
+                        "ghost_pos": target_pos,
+                        "tryout": cfg.ce_tryout,
+                    }))
+                else:
+                    # travel through the front node (teleport surrogate for
+                    # the reference's back_path control)
+                    if front_vp != cur_vp:
+                        log_move(i, [gmap.node_pos[front_vp].copy()])
+                    heading = math.atan2(
+                        -(target_pos[0] - gmap.node_pos[front_vp][0]),
+                        -(target_pos[2] - gmap.node_pos[front_vp][2]),
+                    ) % (2 * math.pi)
+                    env.teleport(i, target_pos, heading)
+                    log_move(i, [target_pos.copy()])
                 gmap.delete_ghost(vp)
             if ended.all():
                 break

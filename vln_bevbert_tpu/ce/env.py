@@ -51,6 +51,7 @@ class SyntheticContinuousEnv:
         view_feat_size: int = 512,
         depth_feat_shape=(128, 4, 4),
         seed: int = 0,
+        obstacles: Optional[Sequence] = None,
     ):
         self.episodes = list(episodes)
         self.batch_size = batch_size
@@ -65,6 +66,15 @@ class SyntheticContinuousEnv:
         self.positions = np.zeros((batch_size, 3))
         self.headings = np.zeros(batch_size)
         self.active = np.zeros(batch_size, bool)
+        # low-level control surface (habitat defaults: TURN 30deg, FWD 0.25m)
+        self.turn_unit = math.radians(30.0)
+        self.forward_unit = 0.25
+        # circular obstacles in the xz plane: (cx, cz, radius) rows
+        self.obstacles = (
+            np.asarray(obstacles, np.float64).reshape(-1, 3)
+            if obstacles is not None else np.zeros((0, 3))
+        )
+        self._collided = np.zeros(batch_size, bool)
 
     def size(self) -> int:
         return len(self.episodes)
@@ -133,6 +143,40 @@ class SyntheticContinuousEnv:
 
     def stop(self, slot: int):
         self.active[slot] = False
+
+    # -------------------------------------------------- low-level primitives
+    # (the surface the reference's HIGHTOLOW control drives on habitat:
+    # TURN_LEFT/TURN_RIGHT/MOVE_FORWARD with previous_step_collided —
+    # habitat_extensions/nav.py:38-56, environments.py:340-358)
+    def rotate(self, slot: int, angle: float):
+        """Rotate by a signed angle (already discretized by the controller;
+        turns never collide)."""
+        self.headings[slot] = (self.headings[slot] + angle) % (2 * math.pi)
+
+    def forward_step(self, slot: int) -> bool:
+        """One MOVE_FORWARD unit; returns True if the step collided (the
+        agent then does not move, matching habitat's slide-less default)."""
+        h = self.headings[slot]
+        new = self.positions[slot] + self.forward_unit * np.array(
+            [-math.sin(h), 0.0, -math.cos(h)]
+        )
+        if self._blocked(new):
+            self._collided[slot] = True
+            return True
+        self.positions[slot] = new
+        self._collided[slot] = False
+        return False
+
+    def previous_step_collided(self, slot: int) -> bool:
+        return bool(self._collided[slot])
+
+    def _blocked(self, pos) -> bool:
+        if not len(self.obstacles):
+            return False
+        d = np.hypot(
+            self.obstacles[:, 0] - pos[0], self.obstacles[:, 1] - pos[2]
+        )
+        return bool((d < self.obstacles[:, 2]).any())
 
     # ----------------------------------------------------------------- oracle
     def geodesic(self, slot: int, a, b) -> float:

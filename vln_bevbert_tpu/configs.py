@@ -178,6 +178,10 @@ class FinetuneConfig:
                                    # is the topo-only (ETP-style) variant
     pc_order: int = 1              # hops of neighbour point clouds kept in BEV
     loss_nav_3: bool = True        # global+local+fused CE, as reference
+    # CE eval-mode action execution (ref environments.py:437-479): 'control'
+    # runs turn-discretized low-level motion, 'teleport' jumps between nodes
+    ce_back_algo: str = "control"  # {control, teleport}
+    ce_tryout: bool = True         # collision recovery sweep during control
     grad_norm: float = 5.0
     weight_decay: float = 0.01
     seed: int = 0

@@ -152,7 +152,9 @@ class GMapNavAgent:
         )
         self.polar = bev_polar_pos(cfg.model.bev_dim).reshape(-1, 3)
         self.np_rng = np.random.default_rng(seed)
-        self.rng = jax.random.key(seed)
+        from ..utils.rng import train_key
+
+        self.rng = train_key(seed)  # rbg: cheap dropout masks on TPU
         self.params = None
         self.opt_state = None
         self.tx = None
@@ -1026,6 +1028,32 @@ class GMapNavAgent:
         loss_val = float(loss)
         self.logs["IL_loss"].append(loss_val)
         return loss_val
+
+    # ----------------------------------------------------------- checkpoints
+    def save_ckpt(self, path: str):
+        """Params + optimiser state (ref agent_base.py:219-234 save dict)."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.abspath(path),
+                {"params": self.params, "opt_state": self.opt_state},
+                force=True,
+            )
+
+    def restore_ckpt(self, path: str, with_opt: bool = True):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            target = {"params": self.params, "opt_state": self.opt_state}
+            restored = ckptr.restore(os.path.abspath(path), target)
+        self.params = restored["params"]
+        if with_opt:
+            self.opt_state = restored["opt_state"]
 
     # ------------------------------------------------------------------ test
     def test(self, max_batches: Optional[int] = None):

@@ -43,7 +43,9 @@ class PretrainTrainer:
         _, first = train_loader.build_batch(0)
         self.model, self.projector, self.state = init_pretrain_state(cfg, first)
         self.step_fn = make_pretrain_step(self.model, self.projector, mesh)
-        self.rng = jax.random.key(cfg.seed)
+        from ..utils.rng import train_key
+
+        self.rng = train_key(cfg.seed)  # rbg: cheap dropout masks on TPU
 
     # ------------------------------------------------------------ checkpoints
     def save(self, step: int):
