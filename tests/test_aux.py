@@ -135,6 +135,8 @@ def test_trainer_auto_resume(tmp_path):
                          valid_steps=0)
 
     class FakeLoader:
+        global_batch_size = 2
+
         def __init__(self):
             self.rng = np.random.default_rng(0)
 
@@ -199,6 +201,8 @@ def test_sem_auc_in_validation(tmp_path):
                          valid_steps=0)
 
     class FakeLoader:
+        global_batch_size = 2
+
         def build_batch(self, step, task=None):
             return "masksem", synthetic_pretrain_batch(
                 np.random.default_rng(step), 2, shapes, tiny, raw_bev=True

@@ -43,6 +43,51 @@ def test_pretrain_cli_synthetic(tmp_path, monkeypatch):
     assert any(p.name.startswith("ckpt_") for p in out.iterdir())
 
 
+def test_finetune_cli_reverie_synthetic(tmp_path):
+    """REVERIE object pipeline through the CLI (VERDICT r1 item 7): object
+    DBs, OG head, RGS metrics, and predObjId in the submission dump."""
+    from vln_bevbert_tpu.cli import finetune
+
+    model = dict(TINY_MODEL, obj_feat_size=8)
+    shapes = dict(TINY_SHAPES, max_objects=4)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model": model, "shapes": shapes,
+        "batch_size": 2, "max_action_len": 3,
+    }))
+    out = tmp_path / "run"
+    finetune.main([
+        "--synthetic", "--dataset", "reverie", "--config", str(cfg_path),
+        "--output_dir", str(out), "--iters", "1", "--log_every", "1",
+        "--feedback", "teacher", "--synth_dir", str(tmp_path / "synth_rvr"),
+    ])
+    metrics = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
+    assert any("val_unseen/rgs" in m for m in metrics)
+    preds = [p for p in out.iterdir() if p.name.startswith("preds_")]
+    data = json.loads(preds[0].read_text())
+    assert any("predObjId" in d for d in data)
+
+
+def test_finetune_cli_soon_synthetic(tmp_path):
+    from vln_bevbert_tpu.cli import finetune
+
+    model = dict(TINY_MODEL, obj_feat_size=8)
+    shapes = dict(TINY_SHAPES, max_objects=4)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model": model, "shapes": shapes,
+        "batch_size": 2, "max_action_len": 3,
+    }))
+    out = tmp_path / "run"
+    finetune.main([
+        "--synthetic", "--dataset", "soon", "--config", str(cfg_path),
+        "--output_dir", str(out), "--iters", "1", "--log_every", "1",
+        "--feedback", "teacher", "--synth_dir", str(tmp_path / "synth_soon"),
+        "--test",
+    ])
+    assert (out / "metrics.jsonl").exists()
+
+
 def test_finetune_cli_synthetic(tmp_path, monkeypatch):
     from vln_bevbert_tpu.cli import finetune
 

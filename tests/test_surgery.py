@@ -142,3 +142,31 @@ def test_pretrain_to_nav_transfer_is_identity_on_bert():
     np.testing.assert_allclose(
         np.asarray(out_nav), np.asarray(out_pre), atol=1e-6
     )
+
+
+def test_roberta_position_offset():
+    """XLM-R position tables carry a +2 pad offset (positions start at
+    padding_idx+1=2); hf_bert_to_tree must drop the first two rows for
+    roberta-prefixed state dicts and not for bert ones (VERDICT r1 item 9;
+    the reference maps them naively, train_r2r.py:131-148)."""
+    rng = np.random.default_rng(0)
+    d = 8
+    pos = rng.normal(size=(514, d)).astype(np.float32)
+
+    def make_sd(prefix):
+        return {
+            f"{prefix}embeddings.word_embeddings.weight": rng.normal(size=(32, d)),
+            f"{prefix}embeddings.position_embeddings.weight": pos,
+            f"{prefix}embeddings.token_type_embeddings.weight": rng.normal(size=(1, d)),
+            f"{prefix}embeddings.LayerNorm.weight": np.ones(d),
+            f"{prefix}embeddings.LayerNorm.bias": np.zeros(d),
+        }
+
+    tree_rob = hf_bert_to_tree(make_sd("roberta."), num_l_layers=0)
+    got = tree_rob["embeddings"]["position_embeddings"]["embedding"]
+    assert got.shape == (512, d)
+    np.testing.assert_array_equal(got, pos[2:])
+
+    tree_bert = hf_bert_to_tree(make_sd("bert."), num_l_layers=0)
+    got_b = tree_bert["embeddings"]["position_embeddings"]["embedding"]
+    np.testing.assert_array_equal(got_b, pos)

@@ -9,9 +9,10 @@ stop/ghost actions; training uses scheduled sampling with a decaying
 teacher-mix ratio (ss_trainer_BEV.py:659-674) and the same exact episode
 replay loss as the discrete agent.
 
-Documented deltas from the reference (host-side, non-compute):
-- candidate pano tokens take the nearest camera's view feature (the reference
-  interpolates neighbouring views).
+Candidate pano tokens take the nearest camera's view feature, matching the
+reference (Policy_ViewSelection_BEV.py:271-272 gathers rgb/depth feats at
+``img_idxes``, the candidate's nearest camera); train rollouts use the
+reference's waypoint sampling augmentation (extract_waypoints in_train).
 
 Eval-mode action execution matches the reference: with
 ``cfg.ce_back_algo == 'control'`` the agent back-tracks along the map and
@@ -322,11 +323,12 @@ class CEAgent(GMapNavAgent):
             walked[i].extend(positions)
             headings[i].extend([float(env.headings[i])] * len(positions))
 
+        use_bev = self.cfg.model.use_bev  # False = topo-only ETP trainer
         lang = self._language_variable(obs)
         txt_embeds = self._fn("language")(self.params, lang)
         ended = np.zeros(B, bool)
         pano_store = {"view_lens": {}, "embeds": {}}
-        pc_store = self._make_pc_store(B)
+        pc_store = self._make_pc_store(B) if use_bev else None
         records: List[StepRecord] = []
         # eval-mode low-level control (ref runs HIGHTOLOW control at eval,
         # teleport during training rollouts — ss_trainer_BEV.py:1108-1179)
@@ -342,19 +344,23 @@ class CEAgent(GMapNavAgent):
                 self._jitted["waypoint"](self.wp_params, depth_feats)
             )
             cand_angles, cand_dists, _ = extract_waypoints(
-                heat, max_candidates=min(5, cfg.shapes.max_local_len - 1)
+                heat, max_candidates=min(5, cfg.shapes.max_local_len - 1),
+                in_train=train, rng=self.np_rng,
             )
 
-            # 2. pano encoding
+            # 2. pano encoding (async dispatch; forced after the lift prep so
+            # the host feature stacking overlaps the device forward)
             pano_in = self._ce_panorama_variable(obs, cand_angles, cand_dists)
             pano_embeds, pano_masks = self._fn("panorama")(self.params, pano_in)
-            pano_np = np.asarray(pano_embeds)
             pano_store["view_lens"][t] = pano_in["view_lens"]
-            pano_store["embeds"][t] = pano_np
 
             # 3. lift point cloud into device-resident memory
-            pc, pc_valid, pc_feats = self._ce_lift(obs)
-            pc_store.set_step(t, pc, pc_valid, pc_feats)
+            if use_bev:
+                pc, pc_valid, pc_feats = self._ce_lift(obs)
+                pc_store.set_step(t, pc, pc_valid, pc_feats)
+
+            pano_np = np.asarray(pano_embeds)
+            pano_store["embeds"][t] = pano_np
 
             # 4. graph update with ghost bookkeeping
             for i, gmap in enumerate(gmaps):
@@ -382,11 +388,6 @@ class CEAgent(GMapNavAgent):
 
             # 5. navigation forward
             nav_g = self._ce_gmap_variable(obs, gmaps, embed_refs, pano_store)
-            nav_b = self._ce_bev_variable(obs, gmaps, pc_store)
-            fuse_map = self._build_fuse_map(
-                nav_g["gmap_vpids"], nav_g["gmap_visited_masks"],
-                nav_b["bev_cand_vpids"],
-            )
             gmap_img = self._policy_node_embeds(nav_g["gmap_agg"], pano_store, B)
             nav_in = {
                 "txt_embeds": txt_embeds,
@@ -397,15 +398,27 @@ class CEAgent(GMapNavAgent):
                 "gmap_masks": nav_g["gmap_masks"],
                 "gmap_pair_dists": nav_g["gmap_pair_dists"],
                 "gmap_visited_masks": nav_g["gmap_visited_masks"],
-                "bev_fts": nav_b["bev_fts"],
-                "bev_pos_fts": nav_b["bev_pos_fts"],
-                "bev_masks": np.ones((B, cfg.model.num_bev_tokens), bool),
-                "bev_nav_masks": nav_b["bev_nav_masks"],
-                "bev_cand_idxs": nav_b["bev_cand_idxs"],
-                "local_masks": nav_b["local_masks"],
-                "fuse_map": fuse_map,
             }
+            nav_b = fuse_map = None
+            if use_bev:
+                nav_b = self._ce_bev_variable(obs, gmaps, pc_store)
+                fuse_map = self._build_fuse_map(
+                    nav_g["gmap_vpids"], nav_g["gmap_visited_masks"],
+                    nav_b["bev_cand_vpids"],
+                )
+                nav_in.update({
+                    "bev_fts": nav_b["bev_fts"],
+                    "bev_pos_fts": nav_b["bev_pos_fts"],
+                    "bev_masks": np.ones((B, cfg.model.num_bev_tokens), bool),
+                    "bev_nav_masks": nav_b["bev_nav_masks"],
+                    "bev_cand_idxs": nav_b["bev_cand_idxs"],
+                    "local_masks": nav_b["local_masks"],
+                    "fuse_map": fuse_map,
+                })
             nav_outs = self._fn("navigation")(self.params, nav_in)
+            # the oracle teacher (geodesic queries — env-pool RPCs) overlaps
+            # the device nav forward; force the logits only afterwards
+            targets = self._ce_teacher(obs, gmaps, nav_g["gmap_vpids"], ended)
             nav_logits = np.asarray(nav_outs["fused_logits"])
             nav_probs = np.exp(nav_logits - nav_logits.max(-1, keepdims=True))
             nav_probs /= nav_probs.sum(-1, keepdims=True)
@@ -414,32 +427,30 @@ class CEAgent(GMapNavAgent):
                     gmap.node_stop_scores[nav_g["cur_vps"][i]] = float(
                         nav_probs[i, 0]
                     )
-
-            targets = self._ce_teacher(obs, gmaps, nav_g["gmap_vpids"], ended)
             if train:
-                records.append(
-                    StepRecord(
-                        active=~ended.copy(),
-                        view_fts=pano_in["view_fts"],
-                        loc_fts=pano_in["loc_fts"],
-                        nav_types=pano_in["nav_types"],
-                        view_lens=pano_in["view_lens"],
-                        gmap_agg=nav_g["gmap_agg"],
-                        gmap_step_ids=nav_g["gmap_step_ids"],
-                        gmap_pos_fts=nav_g["gmap_pos_fts"],
-                        gmap_masks=nav_g["gmap_masks"],
-                        gmap_visited_masks=nav_g["gmap_visited_masks"],
-                        gmap_pair_dists=nav_g["gmap_pair_dists"],
-                        bev_fts=nav_b["bev_fts"],
-                        bev_nav_masks=nav_b["bev_nav_masks"],
-                        bev_cand_idxs=nav_b["bev_cand_idxs"],
-                        local_masks=nav_b["local_masks"],
-                        fuse_map=fuse_map,
-                        bev_pos_fts=nav_b["bev_pos_fts"],
-                        targets=np.where(ended, IGNORE_ID, targets),
-                        step_idx=t,
-                    )
+                rec = StepRecord(
+                    active=~ended.copy(),
+                    view_fts=pano_in["view_fts"],
+                    loc_fts=pano_in["loc_fts"],
+                    nav_types=pano_in["nav_types"],
+                    view_lens=pano_in["view_lens"],
+                    gmap_agg=nav_g["gmap_agg"],
+                    gmap_step_ids=nav_g["gmap_step_ids"],
+                    gmap_pos_fts=nav_g["gmap_pos_fts"],
+                    gmap_masks=nav_g["gmap_masks"],
+                    gmap_visited_masks=nav_g["gmap_visited_masks"],
+                    gmap_pair_dists=nav_g["gmap_pair_dists"],
+                    targets=np.where(ended, IGNORE_ID, targets),
+                    step_idx=t,
                 )
+                if use_bev:
+                    rec.bev_fts = nav_b["bev_fts"]
+                    rec.bev_nav_masks = nav_b["bev_nav_masks"]
+                    rec.bev_cand_idxs = nav_b["bev_cand_idxs"]
+                    rec.local_masks = nav_b["local_masks"]
+                    rec.fuse_map = fuse_map
+                    rec.bev_pos_fts = nav_b["bev_pos_fts"]
+                records.append(rec)
 
             # scheduled sampling: teacher action w.p. sample_ratio, else
             # model sample (ss_trainer_BEV.py:1097-1100); eval uses argmax
@@ -530,6 +541,10 @@ class CEAgent(GMapNavAgent):
                 gmap.delete_ghost(vp)
             if ended.all():
                 break
+            # subprocess pools synthesize sensors in parallel across workers;
+            # dispatch now so the fan-out overlaps remaining host work
+            if hasattr(env, "begin_observations"):
+                env.begin_observations()
             obs = env.observations()
 
         loss = None

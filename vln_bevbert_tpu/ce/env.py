@@ -79,6 +79,16 @@ class SyntheticContinuousEnv:
     def size(self) -> int:
         return len(self.episodes)
 
+    # accessors for the subprocess pool (ce/env_pool.py gathers these)
+    def get_headings(self) -> np.ndarray:
+        return self.headings.copy()
+
+    def get_positions(self) -> np.ndarray:
+        return self.positions.copy()
+
+    def get_batch(self):
+        return list(self.batch)
+
     def reset_epoch(self):
         self.ix = 0
 

@@ -27,6 +27,12 @@ def parse_args(argv=None):
     p.add_argument("--pretrain_ckpt", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--test", action="store_true")
+    p.add_argument("--trainer", default="ss-bev", choices=["ss-bev", "ss-etp"],
+                   help="ss-etp = topo-only ETP architecture (ref run.py "
+                        "TRAINER_NAME registry: SS-BEV / SS-ETP)")
+    p.add_argument("--num_env_workers", type=int, default=0,
+                   help=">0: subprocess env pool with this many workers "
+                        "(ref env_utils.py NUM_ENVIRONMENTS=8/rank)")
     return p.parse_args(argv)
 
 
@@ -47,6 +53,11 @@ def main(argv=None):
     if cfg.model.bev_dim == 21:
         cfg.model.bev_dim = 11
         cfg.model.bev_res = 1.0
+    if args.trainer == "ss-etp":
+        # topo-only: no local BEV branch at all (ref ss_trainer_ETP.py +
+        # models/etp/vilmodel_cmt.py:721-751)
+        cfg.model.use_bev = False
+        cfg.fusion = "global"
 
     # cfg.batch_size is per chip; scale to the global batch for the dp mesh
     # (ref CE trains DDP with 8 envs/rank, ss_trainer_BEV.py:247-251)
@@ -60,13 +71,24 @@ def main(argv=None):
 
     rng = np.random.default_rng(cfg.seed)
     episodes = make_synthetic_ce_episodes(rng, n=args.n_episodes)
-    env = SyntheticContinuousEnv(
-        episodes, batch_size=cfg.batch_size,
+    env_kwargs = dict(
         grid_hw=cfg.shapes.grid_hw,
         grid_feat_size=cfg.model.bev_grid_feat_size,
         view_feat_size=cfg.model.image_feat_size,
-        seed=cfg.seed,
     )
+    if args.num_env_workers > 0:
+        from ..ce.env_pool import make_synthetic_pool
+
+        assert cfg.batch_size % args.num_env_workers == 0
+        env = make_synthetic_pool(
+            episodes, num_workers=args.num_env_workers,
+            slots_per_worker=cfg.batch_size // args.num_env_workers,
+            seed=cfg.seed, **env_kwargs,
+        )
+    else:
+        env = SyntheticContinuousEnv(
+            episodes, batch_size=cfg.batch_size, seed=cfg.seed, **env_kwargs,
+        )
     agent = CEAgent(cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio,
                     mesh=mesh)
     pretrained = None

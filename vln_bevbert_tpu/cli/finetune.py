@@ -15,7 +15,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default=None)
     p.add_argument("--data_root", default=None)
-    p.add_argument("--dataset", default="r2r", choices=["r2r", "r4r", "rxr"])
+    p.add_argument("--dataset", default="r2r",
+                   choices=["r2r", "r4r", "rxr", "reverie", "soon"])
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--output_dir", default="runs/finetune")
     p.add_argument("--iters", type=int, default=None)
@@ -100,11 +101,65 @@ def build_envs(cfg, args):
             depth_db=H5FeatureDB(os.path.join(args.data_root, "depth.hdf5")),
         )
 
+    if args.dataset in ("reverie", "soon"):
+        return _make_obj_envs(
+            cfg, args, graphs, cands, dbs, train_annos, val_annos
+        )
     mk = lambda annos, name, seed: R2RNavBatch(
         annos, graphs, cands, batch_size=cfg.batch_size,
         image_feat_size=cfg.model.image_feat_size, seed=seed, name=name, **dbs,
     )
     return mk(train_annos, "train", args.seed), mk(val_annos, "val_unseen", args.seed + 1)
+
+
+def _make_obj_envs(cfg, args, graphs, cands, dbs, train_annos, val_annos):
+    """REVERIE/SOON object-grounded envs (ref reverie/main_nav_obj.py:25-77,
+    soon/main.py). Synthetic mode synthesises a per-viewpoint object DB; real
+    mode reads BBoxes.json + an object-feature HDF5."""
+    import numpy as np
+
+    from ..nav.obj_env import ObjectDB, ReverieObjectNavBatch, SoonObjectNavBatch
+
+    m = cfg.model
+    if args.synthetic or not args.data_root:
+        rng = np.random.default_rng(args.seed + 17)
+        obj_data, obj2vps = {}, {}
+        oid = 0
+        for scan, g in graphs.items():
+            for vp in g.node_ids:
+                ids = [str(oid), str(oid + 1)]
+                oid += 2
+                obj_data[f"{scan}_{vp}"] = {
+                    "fts": rng.normal(
+                        size=(2, m.obj_feat_size + m.obj_prob_size)
+                    ).astype(np.float32),
+                    "directions": rng.uniform(-1, 1, (2, 2)).astype(np.float32),
+                    "sizes": rng.uniform(20, 100, (2, 2)).astype(np.float32),
+                    "obj_ids": ids,
+                }
+                for i in ids:
+                    obj2vps[f"{scan}_{i}"] = [vp]
+        for annos in (train_annos, val_annos):
+            for a in annos:
+                scan, goal = a["scan"], a["path"][-1]
+                a["objId"] = obj_data[f"{scan}_{goal}"]["obj_ids"][0]
+                a["end_vps"] = [goal]
+    else:
+        with open(os.path.join(args.data_root, "BBoxes.json")) as f:
+            raw = json.load(f)
+        obj_data = raw["objects"] if "objects" in raw else raw
+        with open(os.path.join(args.data_root, "obj2vps.json")) as f:
+            obj2vps = json.load(f)
+    env_cls = SoonObjectNavBatch if args.dataset == "soon" else ReverieObjectNavBatch
+    mk = lambda annos, name, seed: env_cls(
+        annos, graphs, cands, batch_size=cfg.batch_size,
+        image_feat_size=m.image_feat_size, seed=seed, name=name,
+        obj_db=ObjectDB(obj_data), obj2vps=obj2vps,
+        max_objects=cfg.shapes.max_objects,
+        multi_endpoints=(name == "train"), **dbs,
+    )
+    return (mk(train_annos, "train", args.seed),
+            mk(val_annos, "val_unseen", args.seed + 1))
 
 
 def main(argv=None):
@@ -128,6 +183,10 @@ def main(argv=None):
         cfg.model.vocab_size = 250002
         cfg.expert_policy = "ndtw"
         cfg.ml_weight = 0.8
+    if args.dataset in ("reverie", "soon"):
+        # object tokens + OG head (ref scripts/ft_rvr.bash:8 obj_ft_dim=768,
+        # :39 max_objects=20)
+        cfg.model.obj_feat_size = cfg.model.obj_feat_size or 768
 
     # cfg.batch_size is per chip; the envs run the global batch and the
     # replay update shards it over the dp mesh (ref fine-tunes 4-GPU DDP,
@@ -162,19 +221,21 @@ def main(argv=None):
         logger.log(step, {f"{tag}/{k}": v for k, v in avg.items()})
         with open(os.path.join(cfg.output_dir, f"preds_{tag}_{step}.json"), "w") as f:
             # R2R leaderboard submission format: (viewpoint, heading,
-            # elevation) triples (ref agent_base.py:37, main_nav.py:287-291)
-            json.dump(
-                [
-                    {
-                        "instr_id": p["instr_id"],
-                        "trajectory": [
-                            [vp, 0.0, 0.0] for vp in sum(p["trajectory"], [])
-                        ],
-                    }
-                    for p in preds
-                ],
-                f,
-            )
+            # elevation) triples (ref agent_base.py:37, main_nav.py:287-291);
+            # REVERIE adds the grounded object id (main_nav_obj.py:278-281
+            # submit dump; 'predObjId' in the leaderboard schema)
+            def entry(p):
+                e = {
+                    "instr_id": p["instr_id"],
+                    "trajectory": [
+                        [vp, 0.0, 0.0] for vp in sum(p["trajectory"], [])
+                    ],
+                }
+                if p.get("pred_objid") is not None:
+                    e["predObjId"] = p["pred_objid"]
+                return e
+
+            json.dump([entry(p) for p in preds], f)
         agent.env = train_env
         return avg
 

@@ -62,6 +62,10 @@ class ModelConfig:
 
     bev_dim: int = 21              # 21x21 (discrete) or 11x11 (CE)
     bev_res: float = 0.5           # metres per cell (1.0 for CE)
+    use_bev: bool = True           # False = topo-only ETP architecture (no
+                                   # local BEV branch at all; global logits
+                                   # are the action scores — ref bevbert_ce/
+                                   # vlnce_baselines/models/etp/vilmodel_cmt.py:721-751)
     feat_dropout: float = 0.4      # env-feature dropout
 
     lang_bert_name: str = "bert-base-uncased"  # or "xlm-roberta-base" (RxR)

@@ -12,8 +12,9 @@ from .encoders import (
     LocalBEVEncoder,
 )
 from .clip import ClipVisionTower
-from .depth_encoder import DdppoDepthEncoder
+from .depth_encoder import DdppoDepthEncoder, load_ddppo_ckpt
 from .glocal import GlocalTextPathCMT, GlocalTextPathCMTPreTraining
+from .legacy import RecurrentVLNBert, prevalent_to_tree
 from .nav import Critic, GlocalTextPathNavCMT
 
 __all__ = [
@@ -32,4 +33,7 @@ __all__ = [
     "Critic",
     "ClipVisionTower",
     "DdppoDepthEncoder",
+    "load_ddppo_ckpt",
+    "RecurrentVLNBert",
+    "prevalent_to_tree",
 ]

@@ -99,6 +99,26 @@ class GlocalTextPathNavCMT(nn.Module):
             batch["gmap_pos_fts"], batch["gmap_masks"],
             batch["gmap_pair_dists"], deterministic=deterministic,
         )
+
+        if not cfg.use_bev:
+            # topo-only ETP navigation (etp/vilmodel_cmt.py:721-751): global
+            # branch only; no local encoder, no fusion weight, logits are the
+            # global SAP head with visited/padding fills
+            global_logits = self.global_sap_head(gmap_embeds)[..., 0]
+            global_logits = masked_fill_neg(
+                global_logits, batch["gmap_visited_masks"]
+            )
+            global_logits = masked_fill_neg(global_logits, ~batch["gmap_masks"])
+            return {
+                "gmap_embeds": gmap_embeds,
+                "global_logits": global_logits,
+                "fused_logits": global_logits,
+                "local_logits": None,
+                "bev_embeds": None,
+                "obj_logits": None,
+                "fuse_weights": 1.0,
+            }
+
         bev_embeds, obj_embeds = self.bert.local_encoder(
             txt_embeds, txt_masks,
             batch["bev_fts"], batch["bev_pos_fts"],

@@ -74,7 +74,11 @@ def hf_bert_to_tree(state_dict: Dict[str, "np.ndarray"], num_l_layers: int = 9,
     prefix (the reference's RxR path, pretrain_src/train_r2r.py:131-148).
     """
     sd = {}
+    roberta_style = False
     for k, v in state_dict.items():
+        for prefix in ("roberta.", "xlm_roberta."):
+            if k.startswith(prefix):
+                roberta_style = True
         for prefix in ("bert.", "roberta.", "xlm_roberta."):
             if k.startswith(prefix):
                 k = k[len(prefix):]
@@ -93,8 +97,14 @@ def hf_bert_to_tree(state_dict: Dict[str, "np.ndarray"], num_l_layers: int = 9,
     emb = "embeddings"
     _set(tree, (emb, "word_embeddings", "embedding"),
          sd["embeddings.word_embeddings.weight"])
-    _set(tree, (emb, "position_embeddings", "embedding"),
-         sd["embeddings.position_embeddings.weight"])
+    pos_table = sd["embeddings.position_embeddings.weight"]
+    if roberta_style:
+        # RoBERTa position ids start at padding_idx + 1 = 2, so the first two
+        # table rows are never trained for real positions. The reference maps
+        # them naively (pretrain_src/train_r2r.py:131-148); we drop the +2 pad
+        # offset so row i is the embedding of position i.
+        pos_table = pos_table[2:]
+    _set(tree, (emb, "position_embeddings", "embedding"), pos_table)
     _set(tree, (emb, "token_type_embeddings", "embedding"),
          sd["embeddings.token_type_embeddings.weight"])
     _set(tree, (emb, "ln"), ln("embeddings.LayerNorm"))

@@ -62,13 +62,14 @@ class StepRecord:
     gmap_masks: np.ndarray             # (B, N)
     gmap_visited_masks: np.ndarray     # (B, N)
     gmap_pair_dists: np.ndarray        # (B, N, N)
-    bev_fts: Any                       # (B, C, 768) device array, no grad
-    bev_nav_masks: np.ndarray          # (B, C)
-    bev_cand_idxs: np.ndarray          # (B, K)
-    local_masks: np.ndarray            # (B, K)
-    fuse_map: np.ndarray               # (B, N, K)
-    bev_pos_fts: np.ndarray            # (B, C, A+3+3)
     targets: np.ndarray                # (B,)
+    # BEV branch (None under the topo-only ETP variant, model.use_bev=False)
+    bev_fts: Any = None                # (B, C, 768) device array, no grad
+    bev_nav_masks: Optional[np.ndarray] = None   # (B, C)
+    bev_cand_idxs: Optional[np.ndarray] = None   # (B, K)
+    local_masks: Optional[np.ndarray] = None     # (B, K)
+    fuse_map: Optional[np.ndarray] = None        # (B, N, K)
+    bev_pos_fts: Optional[np.ndarray] = None     # (B, C, A+3+3)
     step_idx: int = 0
     obj_fts: Optional[np.ndarray] = None     # (B, O, Dobj)
     obj_lens: Optional[np.ndarray] = None    # (B,)
@@ -299,6 +300,7 @@ class GMapNavAgent:
         matrices (gradient flows into every contributing pano encoding).
         """
         model = self.model
+        use_bev = self.cfg.model.use_bev
         T, B, V = rb["view_fts"].shape[:3]
         txt_embeds = model.apply(
             {"params": params}, "language",
@@ -341,14 +343,17 @@ class GMapNavAgent:
                 "gmap_masks": xs["gmap_masks"],
                 "gmap_pair_dists": xs["gmap_pair_dists"],
                 "gmap_visited_masks": xs["gmap_visited_masks"],
-                "bev_fts": xs["bev_fts"],
-                "bev_pos_fts": xs["bev_pos_fts"],
-                "bev_masks": jnp.ones(xs["bev_fts"].shape[:2], bool),
-                "bev_nav_masks": xs["bev_nav_masks"],
-                "bev_cand_idxs": xs["bev_cand_idxs"],
-                "local_masks": xs["local_masks"],
-                "fuse_map": xs["fuse_map"],
             }
+            if use_bev:
+                nav_in.update({
+                    "bev_fts": xs["bev_fts"],
+                    "bev_pos_fts": xs["bev_pos_fts"],
+                    "bev_masks": jnp.ones(xs["bev_fts"].shape[:2], bool),
+                    "bev_nav_masks": xs["bev_nav_masks"],
+                    "bev_cand_idxs": xs["bev_cand_idxs"],
+                    "local_masks": xs["local_masks"],
+                    "fuse_map": xs["fuse_map"],
+                })
             if with_objects:
                 step_tokens = jax.lax.dynamic_slice_in_dim(
                     tokens4d, xs["step_idx"], 1, axis=1
@@ -376,7 +381,7 @@ class GMapNavAgent:
                 "avg": "fused_logits",
                 "global": "global_logits",
                 "local": "local_logits",
-            }[self.cfg.fusion]
+            }[self.cfg.fusion] if use_bev else "global_logits"
             loss = masked_ce(outs[logits_key], xs["targets"])
             if with_objects:
                 loss = loss + masked_ce(outs["obj_logits"], xs["obj_targets"])
@@ -384,10 +389,14 @@ class GMapNavAgent:
 
         xs_keys = [
             "gmap_agg", "gmap_step_ids", "gmap_pos_fts", "gmap_masks",
-            "gmap_pair_dists", "gmap_visited_masks", "bev_fts", "bev_pos_fts",
-            "bev_nav_masks", "bev_cand_idxs", "local_masks", "fuse_map",
+            "gmap_pair_dists", "gmap_visited_masks",
             "targets", "rng", "step_idx",
         ]
+        if use_bev:
+            xs_keys += [
+                "bev_fts", "bev_pos_fts", "bev_nav_masks", "bev_cand_idxs",
+                "local_masks", "fuse_map",
+            ]
         if with_objects:
             xs_keys += ["obj_lens", "obj_targets"]
         xs = {k: rb[k] for k in xs_keys}
@@ -754,13 +763,15 @@ class GMapNavAgent:
                 if not ended[i]:
                     gmap.node_step_ids[obs[i]["viewpoint"]] = t + 1
 
+            # dispatch the pano forward (async under jax), then do every piece
+            # of host work that does not need its result before forcing it —
+            # lift prep, graph bookkeeping, gmap/bev variable building all
+            # overlap the device forward (SURVEY §7 hard-part (b))
             pano_in, cand_vpids, obj_ids = self._panorama_variable(obs)
             pano_embeds, pano_masks = self._fn("panorama")(self.params, pano_in)
-            pano_np = np.asarray(pano_embeds)
             pano_store["view_lens"][t] = pano_in["view_lens"]
             if self.with_objects:
                 pano_store["obj_lens"][t] = pano_in["obj_lens"]
-            pano_store["embeds"][t] = pano_np
 
             pc, pc_valid, pc_feats = self.lift(obs)
             pc_store.set_step(t, pc, pc_valid, pc_feats)
@@ -781,6 +792,9 @@ class GMapNavAgent:
                 nav_g["gmap_vpids"], nav_g["gmap_visited_masks"],
                 nav_b["bev_cand_vpids"],
             )
+            # first point that needs the pano result on host: force it now
+            pano_np = np.asarray(pano_embeds)
+            pano_store["embeds"][t] = pano_np
             # node embeds for the policy: host contraction of stored pano
             gmap_img = self._policy_node_embeds(nav_g["gmap_agg"], pano_store, B)
             nav_in = {
@@ -808,17 +822,31 @@ class GMapNavAgent:
                     np.arange(O)[None, :] < pano_in["obj_lens"][:, None]
                 )
             nav_outs = self._fn("navigation")(self.params, nav_in)
+            nav_vpids = (
+                nav_b["bev_cand_vpids"] if self.cfg.fusion == "local"
+                else nav_g["gmap_vpids"]
+            )
+
+            # host teacher (Dijkstra expert) overlaps the device nav forward:
+            # it only needs the host-side vpid lists
+            targets = self._teacher_action(
+                obs, nav_vpids, ended,
+                visited_masks=(
+                    None if self.cfg.fusion == "local"
+                    else nav_g["gmap_visited_masks"]
+                ),
+                imitation_learning=(feedback == "teacher"), t=t, traj=traj,
+            )
+            obj_targets = None
+            if self.with_objects:
+                obj_targets = self._teacher_object(obs, ended, obj_ids)
+
             # fusion selection (ref agent.py:516-524): fused/global score the
             # map nodes; 'local' scores the current candidates only
-            if self.cfg.fusion == "local":
-                nav_logits = np.asarray(nav_outs["local_logits"])
-                nav_vpids = nav_b["bev_cand_vpids"]
-            elif self.cfg.fusion == "global":
-                nav_logits = np.asarray(nav_outs["global_logits"])
-                nav_vpids = nav_g["gmap_vpids"]
-            else:
-                nav_logits = np.asarray(nav_outs["fused_logits"])
-                nav_vpids = nav_g["gmap_vpids"]
+            logits_key = {
+                "local": "local_logits", "global": "global_logits",
+            }.get(self.cfg.fusion, "fused_logits")
+            nav_logits = np.asarray(nav_outs[logits_key])
             nav_probs = np.exp(
                 nav_logits - nav_logits.max(-1, keepdims=True)
             )
@@ -833,19 +861,6 @@ class GMapNavAgent:
                         gmap.node_og[vp] = obj_ids[i][
                             int(ol[: len(obj_ids[i])].argmax())
                         ]
-
-            targets = self._teacher_action(
-                obs, nav_vpids, ended,
-                visited_masks=(
-                    None if self.cfg.fusion == "local"
-                    else nav_g["gmap_visited_masks"]
-                ),
-                imitation_learning=(feedback == "teacher"), t=t, traj=traj,
-            )
-
-            obj_targets = None
-            if self.with_objects:
-                obj_targets = self._teacher_object(obs, ended, obj_ids)
 
             if train:
                 records.append(
@@ -977,18 +992,19 @@ class GMapNavAgent:
                 arrs = arrs + [np.zeros_like(arrs[0])] * pad
             return np.stack(arrs)
 
-        rb = {
-            k: stack(k)
-            for k in (
-                "view_fts", "loc_fts", "nav_types", "view_lens", "gmap_agg",
-                "gmap_step_ids", "gmap_pos_fts", "gmap_masks",
-                "gmap_pair_dists", "gmap_visited_masks", "bev_nav_masks",
-                "bev_cand_idxs", "local_masks", "fuse_map", "bev_pos_fts",
-            )
-        }
-        bev = [np.asarray(r.bev_fts) for r in records]
-        bev += [np.zeros_like(bev[0])] * (T - len(bev))
-        rb["bev_fts"] = np.stack(bev)
+        keys = [
+            "view_fts", "loc_fts", "nav_types", "view_lens", "gmap_agg",
+            "gmap_step_ids", "gmap_pos_fts", "gmap_masks",
+            "gmap_pair_dists", "gmap_visited_masks",
+        ]
+        if self.cfg.model.use_bev:
+            keys += ["bev_nav_masks", "bev_cand_idxs", "local_masks",
+                     "fuse_map", "bev_pos_fts"]
+        rb = {k: stack(k) for k in keys}
+        if self.cfg.model.use_bev:
+            bev = [np.asarray(r.bev_fts) for r in records]
+            bev += [np.zeros_like(bev[0])] * (T - len(bev))
+            rb["bev_fts"] = np.stack(bev)
         tgt = [r.targets for r in records]
         tgt += [np.full_like(tgt[0], IGNORE_ID)] * (T - len(tgt))
         rb["targets"] = np.stack(tgt)

@@ -93,11 +93,14 @@ def agent_build_bundle(agent, lang, records) -> Dict[str, np.ndarray]:
     keys = [
         "view_fts", "loc_fts", "nav_types", "view_lens", "gmap_agg",
         "gmap_step_ids", "gmap_pos_fts", "gmap_masks", "gmap_pair_dists",
-        "gmap_visited_masks", "bev_nav_masks", "bev_cand_idxs", "local_masks",
-        "fuse_map", "bev_pos_fts",
+        "gmap_visited_masks",
     ]
+    if agent.cfg.model.use_bev:
+        keys += ["bev_nav_masks", "bev_cand_idxs", "local_masks",
+                 "fuse_map", "bev_pos_fts"]
     bundle = {k: stack(k) for k in keys}
-    bundle["bev_fts"] = stack("bev_fts")
+    if agent.cfg.model.use_bev:
+        bundle["bev_fts"] = stack("bev_fts")
     bundle["targets"] = stack("targets", fill=-100)
     bundle["step_idx"] = np.arange(T, dtype=np.int32)
     bundle["txt_ids"] = np.asarray(lang["txt_ids"])
