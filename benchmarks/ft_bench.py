@@ -1,5 +1,8 @@
 """Full-scale fine-tuning throughput on TPU: nav steps/sec (BASELINE.md's
 second headline hook)."""
+import os, sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -37,6 +37,15 @@ def test_precompute_pipeline(tmp_path):
     paths2 = build_feature_files(source, enc, str(tmp_path / "again"), 0)
     with h5py.File(paths["img_ft"]) as f1, h5py.File(paths2["img_ft"]) as f2:
         np.testing.assert_array_equal(f1["scanA_vp0"][...], f2["scanA_vp0"][...])
+    # raw-image dumps (ref save_habitat_img.py / save_depth_img.py products)
+    paths3 = build_feature_files(
+        source, enc, str(tmp_path / "raw"), 0, save_raw_images=True
+    )
+    with h5py.File(paths3["raw_rgb"]) as f:
+        assert f["scanA_vp0"].shape == (3, 32, 32, 3)
+        assert f["scanA_vp0"].dtype == np.uint8
+    with h5py.File(paths3["raw_depth"]) as f:
+        assert f["scanA_vp0"].shape == (3, 4, 4)
 
 
 def test_visualizer(tmp_path):

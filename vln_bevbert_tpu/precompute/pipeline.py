@@ -123,6 +123,40 @@ class ClipEncoder:
         return hidden[:, 1:, :]  # drop CLS -> (12, grid_hw^2, 768)
 
 
+class ImageNetViTEncoder:
+    """Frozen ImageNet-supervised ViT-B/16 via transformers — the reference's
+    timm variant (precompute_features/grid_mp3d_imagenet.py builds
+    pth_vit_base_patch16_224_imagenet.hdf5 with timm's vit_base_patch16_224).
+    Requires locally cached weights."""
+
+    IMAGENET_MEAN = (0.5, 0.5, 0.5)   # timm vit_base_patch16_224 defaults
+    IMAGENET_STD = (0.5, 0.5, 0.5)
+
+    def __init__(self, model_name: str = "google/vit-base-patch16-224",
+                 grid_hw: int = 14):
+        import torch
+        from transformers import ViTModel
+
+        self.torch = torch
+        self.model = ViTModel.from_pretrained(model_name).eval()
+        self.grid_hw = grid_hw
+
+    def _forward(self, imgs: np.ndarray):
+        torch = self.torch
+        x = torch.from_numpy(imgs.astype(np.float32) / 255.0).permute(0, 3, 1, 2)
+        mean = torch.tensor(self.IMAGENET_MEAN)[None, :, None, None]
+        std = torch.tensor(self.IMAGENET_STD)[None, :, None, None]
+        with torch.no_grad():
+            return self.model((x - mean) / std)
+
+    def encode_views(self, views36: np.ndarray) -> np.ndarray:
+        # timm's pooled feature is the pre-logits CLS token
+        return self._forward(views36).last_hidden_state[:, 0].numpy()
+
+    def encode_grids(self, ring12: np.ndarray) -> np.ndarray:
+        return self._forward(ring12).last_hidden_state[:, 1:, :].numpy()
+
+
 class JaxClipEncoder:
     """TPU-side frozen CLIP tower (models/clip.py). Weights either from a
     HuggingFace checkpoint (hf_clip_to_tree) or any saved param tree."""
@@ -160,7 +194,12 @@ class JaxClipEncoder:
 
 
 def build_feature_files(source, encoder, out_dir: str,
-                        progress_every: int = 50) -> Dict[str, str]:
+                        progress_every: int = 50,
+                        save_raw_images: bool = False) -> Dict[str, str]:
+    """Write the HDF5 products the training stack consumes; with
+    ``save_raw_images``, also dump the raw 12-view rgb/depth frames (the
+    reference's save_habitat_img.py / save_depth_img.py products, used to
+    re-encode with a different tower without re-rendering)."""
     import h5py
 
     os.makedirs(out_dir, exist_ok=True)
@@ -170,6 +209,9 @@ def build_feature_files(source, encoder, out_dir: str,
         "depth": os.path.join(out_dir, "depth.hdf5"),
         "sem": os.path.join(out_dir, "sem.hdf5"),
     }
+    if save_raw_images:
+        paths["raw_rgb"] = os.path.join(out_dir, "raw_rgb.hdf5")
+        paths["raw_depth"] = os.path.join(out_dir, "raw_depth.hdf5")
     files = {k: h5py.File(p, "w") for k, p in paths.items()}
     try:
         for n, (scan, vp, frames) in enumerate(source):
@@ -178,6 +220,12 @@ def build_feature_files(source, encoder, out_dir: str,
             files["rgb"][key] = encoder.encode_grids(frames["ring12"]).astype(np.float16)
             files["depth"][key] = (frames["depth"] / 10.0).astype(np.float16)
             files["sem"][key] = frames["sem"]
+            if save_raw_images:
+                files["raw_rgb"].create_dataset(
+                    key, data=frames["ring12"], compression="gzip",
+                    compression_opts=1,
+                )
+                files["raw_depth"][key] = frames["depth"].astype(np.float16)
             if progress_every and (n + 1) % progress_every == 0:
                 print(f"precompute: {n + 1} viewpoints done", flush=True)
     finally:
