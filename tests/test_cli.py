@@ -108,3 +108,44 @@ def test_finetune_cli_synthetic(tmp_path, monkeypatch):
     assert preds
     data = json.loads(preds[0].read_text())
     assert all("instr_id" in d and "trajectory" in d for d in data)
+
+
+def test_full_cycle_pretrain_to_finetune(tmp_path, monkeypatch):
+    """The staged production cycle: pretrain -> orbax ckpt -> finetune
+    restores it via --pretrain_ckpt (structural transfer) -> eval + preds."""
+    from vln_bevbert_tpu.cli import finetune, pretrain
+
+    cfg_path = tmp_path / "pt.json"
+    cfg_path.write_text(json.dumps({
+        "model": TINY_MODEL, "shapes": TINY_SHAPES,
+        "optim": {"num_train_steps": 2, "warmup_steps": 1},
+        "train_batch_size": 2, "valid_steps": 0, "log_steps": 1,
+    }))
+    orig = pretrain.build_synthetic_db
+    monkeypatch.setattr(
+        pretrain, "build_synthetic_db",
+        lambda cfg, seed=0, tmpdir=None: orig(cfg, seed, str(tmp_path / "synth")),
+    )
+    pt_out = tmp_path / "pt_run"
+    pretrain.main([
+        "--synthetic", "--config", str(cfg_path), "--output_dir", str(pt_out),
+        "--num_steps", "2",
+    ])
+    ckpts = sorted(p for p in pt_out.iterdir() if p.name.startswith("ckpt_")
+                   and p.name != "ckpt_latest")
+    assert ckpts
+
+    ft_cfg = tmp_path / "ft.json"
+    ft_cfg.write_text(json.dumps({
+        "model": TINY_MODEL, "shapes": TINY_SHAPES,
+        "batch_size": 2, "max_action_len": 3,
+    }))
+    ft_out = tmp_path / "ft_run"
+    finetune.main([
+        "--synthetic", "--config", str(ft_cfg), "--output_dir", str(ft_out),
+        "--iters", "1", "--log_every", "1", "--feedback", "teacher",
+        "--synth_dir", str(tmp_path / "synth_nav"),
+        "--pretrain_ckpt", str(ckpts[-1]),
+    ])
+    assert (ft_out / "metrics.jsonl").exists()
+    assert any(p.name.startswith("preds_") for p in ft_out.iterdir())

@@ -179,3 +179,29 @@ def test_loader_to_train_step(world):
         state, metrics = step(state, batch, jax.random.key(0), base)
         assert np.isfinite(float(metrics["loss"])), task
     assert int(state.step) == 6
+
+
+def test_process_pool_loader_matches_inprocess(world):
+    """num_workers>0 (forked batch-builder pool) must yield the byte-identical
+    (task, batch) stream as in-process construction: batches are pure
+    functions of (seed, rank, step)."""
+    _, _, nav_db = world
+    cfg = PretrainConfig(
+        model=TINY, shapes=SHAPES,
+        optim=OptimConfig(warmup_steps=2, num_train_steps=10),
+        tasks=("mlm", "sap", "masksem"), mix_ratio=(1, 1, 1),
+        train_batch_size=4,
+    )
+    ref = PretrainLoader(nav_db, cfg, seed=3, prefetch=0)
+    expect = [ref.build_batch(s) for s in range(6)]
+
+    pool = PretrainLoader(nav_db, cfg, seed=3, prefetch=1, num_workers=2)
+    it = iter(pool)
+    got = [next(it) for _ in range(6)]
+    it.close()
+
+    for (t1, b1), (t2, b2) in zip(expect, got):
+        assert t1 == t2
+        assert set(b1) == set(b2)
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)

@@ -143,3 +143,46 @@ def test_loss_decreases_over_steps():
         state, metrics = step(state, batch, rng, "sap")
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_block_step_matches_per_step_sequence():
+    """make_pretrain_block_step (lax.scan over the step body) must produce
+    the same state as N individual dispatches — both with one re-fed batch
+    and with a stacked K-batch axis."""
+    from vln_bevbert_tpu.parallel.train_step import make_pretrain_block_step
+
+    cfg = tiny_cfg(learning_rate=1e-3)
+    batch = make_batch(8, seed=9)
+    model, projector, state0 = init_pretrain_state(cfg, batch)
+    step = make_pretrain_step(model, projector, None)
+    block = make_pretrain_block_step(model, projector, None)
+    rng = jax.random.key(3)
+
+    K = 3
+    s_seq = state0
+    for _ in range(K):
+        s_seq, m_seq = step(s_seq, batch, rng, "sap")
+
+    _, _, state0b = init_pretrain_state(cfg, batch)
+    s_blk, m_blk = block(state0b, batch, rng, task="sap", length=K)
+    assert int(s_blk.step) == K
+    np.testing.assert_allclose(
+        float(m_seq["loss"]), float(m_blk["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_blk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    # stacked mode: K distinct micro-batches, one per scan step
+    batches = [make_batch(8, seed=20 + i) for i in range(K)]
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    _, _, s0c = init_pretrain_state(cfg, batch)
+    s_seq2 = s0c
+    for b in batches:
+        s_seq2, m2 = step(s_seq2, b, rng, "sap")
+    _, _, s0d = init_pretrain_state(cfg, batch)
+    s_blk2, mb2 = block(s0d, stacked, rng, task="sap", length=K, stacked=True)
+    np.testing.assert_allclose(float(m2["loss"]), float(mb2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_seq2.params), jax.tree.leaves(s_blk2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

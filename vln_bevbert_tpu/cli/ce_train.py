@@ -33,6 +33,22 @@ def parse_args(argv=None):
     p.add_argument("--num_env_workers", type=int, default=0,
                    help=">0: subprocess env pool with this many workers "
                         "(ref env_utils.py NUM_ENVIRONMENTS=8/rank)")
+    p.add_argument("--run_type", default="train",
+                   choices=["train", "eval", "inference"],
+                   help="ref run.py --run-type: train loop, checkpoint(-dir) "
+                        "evaluation, or leaderboard inference")
+    p.add_argument("--ckpt_path_dir", default=None,
+                   help="eval: directory of checkpoints to evaluate in step "
+                        "order (ref EVAL.CKPT_PATH_DIR / base_il_trainer eval "
+                        "loop); inference: single checkpoint to load")
+    p.add_argument("--predictions_file", default="preds.json",
+                   help="inference output (ref INFERENCE.PREDICTIONS_FILE)")
+    p.add_argument("--task_type", default="r2r", choices=["r2r", "rxr"],
+                   help="inference format: R2R-CE json / RxR jsonl")
+    p.add_argument("--back_algo", default=None,
+                   choices=["control", "teleport"],
+                   help="eval-mode backtrack execution (ref IL.back_algo)")
+    p.add_argument("--eval_batches", type=int, default=4)
     return p.parse_args(argv)
 
 
@@ -58,6 +74,8 @@ def main(argv=None):
         # models/etp/vilmodel_cmt.py:721-751)
         cfg.model.use_bev = False
         cfg.fusion = "global"
+    if args.back_algo:
+        cfg.ce_back_algo = args.back_algo
 
     # cfg.batch_size is per chip; scale to the global batch for the dp mesh
     # (ref CE trains DDP with 8 envs/rank, ss_trainer_BEV.py:247-251)
@@ -102,9 +120,29 @@ def main(argv=None):
     os.makedirs(cfg.output_dir, exist_ok=True)
     logger = MetricLogger(cfg.output_dir)
 
-    if args.test:
-        metrics = agent.evaluate(num_batches=4)
-        logger.log(0, {f"eval/{k}": v for k, v in metrics.items()})
+    if args.run_type == "eval" or args.test:
+        from ..ce.inference import evaluate_checkpoint_dir
+
+        if args.ckpt_path_dir and os.path.isdir(args.ckpt_path_dir):
+            results = evaluate_checkpoint_dir(
+                agent, args.ckpt_path_dir, cfg.output_dir,
+                num_batches=args.eval_batches,
+            )
+            for i, (name, metrics) in enumerate(sorted(results.items())):
+                logger.log(i, {f"eval/{name}/{k}": v
+                               for k, v in metrics.items()})
+        else:
+            metrics = agent.evaluate(num_batches=args.eval_batches)
+            logger.log(0, {f"eval/{k}": v for k, v in metrics.items()})
+        return
+    if args.run_type == "inference":
+        from ..ce.inference import run_inference
+
+        if args.ckpt_path_dir:
+            agent.restore_ckpt(args.ckpt_path_dir, with_opt=False)
+        out = os.path.join(cfg.output_dir, args.predictions_file)
+        run_inference(agent, out, task_type=args.task_type)
+        print(f"wrote {out}", flush=True)
         return
 
     ratio = args.sample_ratio

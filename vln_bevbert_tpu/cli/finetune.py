@@ -22,6 +22,8 @@ def parse_args(argv=None):
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--log_every", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--expert_policy", default=None, choices=["spl", "ndtw"],
+                   help="teacher policy (ref ft_r2r.bash:30 spl, ft_rxr.bash:30 ndtw)")
     p.add_argument("--feedback", default="dagger",
                    choices=["dagger", "teacher", "sample"])
     p.add_argument("--pretrain_ckpt", default=None,
@@ -101,6 +103,8 @@ def build_envs(cfg, args):
             depth_db=H5FeatureDB(os.path.join(args.data_root, "depth.hdf5")),
         )
 
+    if args.expert_policy:
+        cfg.expert_policy = args.expert_policy
     if args.dataset in ("reverie", "soon"):
         return _make_obj_envs(
             cfg, args, graphs, cands, dbs, train_annos, val_annos
@@ -183,6 +187,8 @@ def main(argv=None):
         cfg.model.vocab_size = 250002
         cfg.expert_policy = "ndtw"
         cfg.ml_weight = 0.8
+    if args.expert_policy:
+        cfg.expert_policy = args.expert_policy
     if args.dataset in ("reverie", "soon"):
         # object tokens + OG head (ref scripts/ft_rvr.bash:8 obj_ft_dim=768,
         # :39 max_objects=20)

@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--tasks", default=None, help="e.g. mlm.5.sap.5.masksem.1")
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=None,
+                   help="forked batch-builder processes (default: config)")
     p.add_argument("--init_bert", action="store_true",
                    help="initialise the language stack from HF bert-base")
     return p.parse_args(argv)
@@ -133,6 +135,8 @@ def main(argv=None):
     from ..pretrain import PretrainTrainer
 
     overrides = {}
+    if args.num_workers is not None:
+        overrides["num_workers"] = args.num_workers
     if args.batch_size:
         overrides["train_batch_size"] = args.batch_size
     if args.num_steps:
@@ -159,7 +163,8 @@ def main(argv=None):
     # (per_chip x n_dev), matching the reference's per-GPU batch under DDP
     n_dev = jax.device_count()
     mesh = make_mesh() if n_dev > 1 else None
-    train_loader = PretrainLoader(nav_db, cfg, seed=cfg.seed, n_devices=n_dev)
+    train_loader = PretrainLoader(nav_db, cfg, seed=cfg.seed, n_devices=n_dev,
+                                  num_workers=cfg.num_workers)
     val_loader = PretrainLoader(
         val_db, cfg, seed=cfg.seed + 1, prefetch=0, n_devices=n_dev
     )

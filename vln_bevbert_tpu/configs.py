@@ -150,6 +150,10 @@ class PretrainConfig:
     bev_mrc_mask_prob: float = 0.15
     end_vp_pos_ratio: float = 0.2  # train_r2r.py task dataset construction
     sem_pred_token: str = "cattn"  # {cattn, sattn, embed}
+    num_workers: int = 0           # forked batch-builder processes (0 = the
+                                   # in-process prefetch thread); the role of
+                                   # the reference DataLoader's n_workers
+                                   # (pretrain_src/data/loader.py:149-156)
     seed: int = 0
     valid_steps: int = 2500
     log_steps: int = 1000

@@ -37,6 +37,12 @@ def fast_cast(arr: np.ndarray, dtype) -> np.ndarray:
     if arr.dtype == dtype:
         return arr
     if arr.dtype == np.float16 and dtype in (np.float32, "float32"):
+        import multiprocessing as _mp
+
+        if _mp.parent_process() is not None:
+            # forked loader worker: XLA runtime threads don't survive fork —
+            # never touch jax in a child, use plain numpy
+            return arr.astype(np.float32)
         global _F16_CONVERTER
         if _F16_CONVERTER is None:
             try:
@@ -80,10 +86,16 @@ class H5FeatureDB:
         self.max_cache = max_cache
         self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._file = None
+        self._pid = None
 
     def _handle(self):
-        if self._file is None:
+        # h5py handles must not be shared across fork (HDF5 file locking +
+        # internal state); reopen per process so forked loader workers are
+        # safe. The LRU cache is plain numpy and fork-shares fine (COW).
+        pid = os.getpid()
+        if self._file is None or self._pid != pid:
             self._file = h5py.File(self.path, "r")
+            self._pid = pid
         return self._file
 
     def get(self, scan: str, viewpoint: str) -> np.ndarray:

@@ -82,10 +82,17 @@ class PretrainLoader:
         rank: int = 0,
         prefetch: int = 2,
         n_devices: int = 1,
+        num_workers: int = 0,
     ):
         """``cfg.train_batch_size`` is PER CHIP (matching the reference's
         per-GPU batch, configs/r2r_pretrain.json:8); the loader builds the
-        global batch = per_chip x n_devices for the dp mesh to shard."""
+        global batch = per_chip x n_devices for the dp mesh to shard.
+
+        ``num_workers`` > 0 fans batch construction out over forked worker
+        processes (the reference's DataLoader num_workers role,
+        pretrain_src/data/loader.py:149-156) — batches are keyed by step so
+        any worker count yields the identical stream. 0 keeps construction
+        in-process (with the ``prefetch`` background thread)."""
         self.nav_db = nav_db
         self.cfg = cfg
         self.n_devices = max(int(n_devices), 1)
@@ -93,8 +100,10 @@ class PretrainLoader:
             cfg.tasks, cfg.mix_ratio, seed,
             block_size=getattr(cfg, "task_block_size", 1),
         )
-        self.rng = np.random.default_rng((seed, rank, 17))
+        self.seed = seed
+        self.rank = rank
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     @property
     def global_batch_size(self) -> int:
@@ -106,12 +115,16 @@ class PretrainLoader:
         if task is None:
             task = self.meta.task_for_step(step)
         base = task.split("_")[0]
-        idxs = self.rng.integers(0, len(self.nav_db), self.global_batch_size)
+        # per-step PRNG keying: batch(step) is a pure function of
+        # (seed, rank, step), so parallel workers building different steps
+        # produce the identical stream as sequential construction
+        rng = np.random.default_rng((self.seed, self.rank, 17, step))
+        idxs = rng.integers(0, len(self.nav_db), self.global_batch_size)
         examples = [
             self.nav_db.get_input(
                 int(i),
-                sample_end_vp_type(task, self.rng),
-                self.rng,
+                sample_end_vp_type(task, rng),
+                rng,
                 return_act_label=base in ("sap", "sem", "masksem"),
                 return_obj_label=base == "og",
                 return_obj_probs=base == "mrc",
@@ -119,7 +132,7 @@ class PretrainLoader:
             for i in idxs
         ]
         batch = make_pretrain_batch(
-            examples, base, self.cfg.shapes, self.cfg.model, self.rng,
+            examples, base, self.cfg.shapes, self.cfg.model, rng,
             mlm_prob=self.cfg.mlm_prob,
             bev_mrc_mask_prob=self.cfg.bev_mrc_mask_prob,
             obj_mrc_mask_prob=self.cfg.mrc_mask_prob,
@@ -127,6 +140,9 @@ class PretrainLoader:
         return task, batch
 
     def __iter__(self) -> Iterator[Tuple[str, Dict[str, np.ndarray]]]:
+        if self.num_workers > 0:
+            yield from self._iter_process_pool()
+            return
         if self.prefetch <= 0:
             step = 0
             while True:
@@ -152,6 +168,48 @@ class PretrainLoader:
                 yield q.get()
         finally:
             stop.set()
+
+    def _iter_process_pool(self) -> Iterator[Tuple[str, Dict[str, np.ndarray]]]:
+        """Forked worker processes build whole batches round-robin by step
+        (worker w owns steps w, w+N, ...); the parent re-orders by step id.
+        Real TPU VM hosts have ~100 vCPUs against this pipeline's single-core
+        build cost — example synthesis is the pretrain host bottleneck
+        (SURVEY 3.1 'h5py reads in workers')."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        n = self.num_workers
+        depth = max(self.prefetch, 1)
+        out_q = ctx.Queue(maxsize=n * depth)
+        stop_ev = ctx.Event()
+
+        def worker(wid: int):
+            step = wid
+            while not stop_ev.is_set():
+                task, batch = self.build_batch(step)
+                out_q.put((step, task, batch))
+                step += n
+
+        procs = [
+            ctx.Process(target=worker, args=(w,), daemon=True) for w in range(n)
+        ]
+        for p in procs:
+            p.start()
+        pending: Dict[int, Tuple[str, Dict[str, np.ndarray]]] = {}
+        step = 0
+        try:
+            while True:
+                while step not in pending:
+                    s, task, batch = out_q.get()
+                    pending[s] = (task, batch)
+                yield pending.pop(step)
+                step += 1
+        finally:
+            stop_ev.set()
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=2.0)
 
 
 def make_synthetic_object_world(

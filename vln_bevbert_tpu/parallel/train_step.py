@@ -127,6 +127,61 @@ def make_pretrain_step(
     )
 
 
+def make_pretrain_block_step(
+    model: GlocalTextPathCMTPreTraining,
+    projector: BevProjector,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """K optimizer steps per dispatch: ``lax.scan`` over the step body.
+
+    Returns block(state, batch, rng, task, length, stacked) ->
+    (state, last_metrics) with ``task``/``length``/``stacked`` static. With
+    ``stacked=False`` the batch has the normal per-step shape and is re-fed
+    every scan iteration (the bench pattern); with ``stacked=True`` it
+    carries a leading K==length axis of distinct micro-batches consumed one
+    per step (stacked mode needs mesh=None — under a mesh the supplied
+    in_sharding shards the leading axis). This mirrors the MetaLoader's
+    task-block scheduling (data/loader.py) and amortises per-step host
+    dispatch — the production pattern for driving a TPU over a slow control
+    link, where per-step Python dispatch would bound throughput below what
+    the chip sustains."""
+    loss_fn = make_loss_fn(model, projector)
+
+    def block(state: TrainState, batch: Batch, rng, task: str, length: int,
+              stacked: bool = False):
+
+        def body(state, xs):
+            b = xs if stacked else batch
+            r = jax.random.fold_in(rng, state.step)
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, b, task, r)
+            new_state = state.apply_gradients(grads)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        xs = batch if stacked else None
+        state, ms = jax.lax.scan(body, state, xs, length=length)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    if mesh is None:
+        return jax.jit(
+            block, static_argnames=("task", "length", "stacked"),
+            donate_argnums=(0,),
+        )
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    return jax.jit(
+        block,
+        static_argnames=("task", "length", "stacked"),
+        donate_argnums=(0,),
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+
 def _ensure_task_keys(batch: Batch, cfg: PretrainConfig) -> Batch:
     """Fill zero placeholders for task-specific label keys missing from the
     init batch — init_all touches every task head, but a single task's batch
