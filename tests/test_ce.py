@@ -255,3 +255,92 @@ def test_obs_transforms():
     out = apply_obs_transforms(pipeline, obs)
     assert out[0]["rgb_0"].shape == (12, 224, 224, 3)
     assert out[0]["depth"].shape == (1, 256, 256, 1)
+
+
+def test_vlnce_dataset_loaders(tmp_path):
+    """Parse fabricated R2R_VLNCE / RxR release-format files
+    (ref habitat_extensions/task.py:106-133, 218-260; gt files
+    ss_trainer_BEV.py:637-643)."""
+    import gzip
+    import json
+
+    from vln_bevbert_tpu.ce.dataset import (
+        apply_gt_paths,
+        load_gt_paths,
+        load_rxr_episodes,
+        load_vlnce_episodes,
+    )
+
+    data = {
+        "instruction_vocab": {"word_list": ["walk", "to", "the", "door"]},
+        "episodes": [
+            {
+                "episode_id": 7,
+                "trajectory_id": 1,
+                "scene_id": "mp3d/SCENE1/SCENE1.glb",
+                "start_position": [1.0, 0.2, -3.0],
+                "start_rotation": [0.0, 0.0, 0.0, 1.0],
+                "goals": [{"position": [4.0, 0.2, -6.0], "radius": 3.0}],
+                "reference_path": [[1.0, 0.2, -3.0], [2.5, 0.2, -4.5],
+                                   [4.0, 0.2, -6.0]],
+                "instruction": {"instruction_text": "walk to the door",
+                                "instruction_tokens": [5, 6, 7, 8]},
+            },
+            {
+                "episode_id": 8,
+                "trajectory_id": 2,
+                "scene_id": "mp3d/SCENE2/SCENE2.glb",
+                "start_position": [0.0, 0.0, 0.0],
+                "start_rotation": [0.0, 0.7071068, 0.0, 0.7071068],
+                "goals": [],
+                "reference_path": [[0.0, 0.0, 0.0], [0.0, 0.0, -2.0]],
+                "instruction": {"instruction_text": "go", 
+                                "instruction_tokens": [9]},
+            },
+        ],
+    }
+    p = tmp_path / "val_unseen.json.gz"
+    with gzip.open(p, "wt") as f:
+        json.dump(data, f)
+
+    eps = load_vlnce_episodes(str(p))
+    assert len(eps) == 2
+    assert eps[0].episode_id == "7"
+    np.testing.assert_array_equal(eps[0].instr_encoding, [5, 6, 7, 8])
+    np.testing.assert_allclose(eps[0].goal, [4.0, 0.2, -6.0])
+    assert eps[0].start_heading == pytest.approx(0.0)
+    # quaternion [0, sin(45), 0, cos(45)] = +90deg yaw
+    assert eps[1].start_heading == pytest.approx(np.pi / 2, abs=1e-5)
+    # no goals -> goal falls back to the last reference-path point
+    np.testing.assert_allclose(eps[1].goal, [0.0, 0.0, -2.0])
+    # scene filter
+    assert len(load_vlnce_episodes(str(p), scenes=["SCENE1"])) == 1
+    # custom tokenizer wins over release tokens
+    tok = load_vlnce_episodes(str(p), tokenizer=lambda s: [len(s)])
+    np.testing.assert_array_equal(tok[0].instr_encoding, [16])
+
+    # RxR per-role files + language filter
+    rxr = dict(data)
+    rxr["episodes"] = [dict(data["episodes"][0])]
+    rxr["episodes"][0]["instruction"] = {
+        "instruction_text": "walk", "instruction_tokens": [3],
+        "language": "hi-IN",
+    }
+    rp = tmp_path / "val_unseen_guide.json.gz"
+    with gzip.open(rp, "wt") as f:
+        json.dump(rxr, f)
+    tmpl = str(tmp_path / "val_unseen_{role}.json.gz")
+    assert len(load_rxr_episodes(tmpl)) == 1
+    assert len(load_rxr_episodes(tmpl, languages=["en-US"])) == 0
+
+    # gt locations override the sparse reference path
+    gt = {"7": {"locations": [[1.0, 0.2, -3.0], [1.5, 0.2, -3.5],
+                              [2.0, 0.2, -4.0], [4.0, 0.2, -6.0]],
+                "actions": [1, 1, 1, 0]}}
+    gp = tmp_path / "val_unseen_gt.json.gz"
+    with gzip.open(gp, "wt") as f:
+        json.dump(gt, f)
+    gt_map = load_gt_paths(str(gp))
+    apply_gt_paths(eps, gt_map)
+    assert len(eps[0].gt_positions) == 4
+    assert len(eps[1].gt_positions) == 2  # untouched

@@ -57,3 +57,29 @@ def test_floyd_native_matches_python(rng):
         for y in names[:6]:
             if x != y and py.distance(x, y) < 1e8:
                 assert cc.path(x, y) == py.path(x, y)
+
+
+import pytest
+def test_native_dtw_matches_python():
+    import numpy as np
+
+    from vln_bevbert_tpu import native
+
+    if not native.available():
+        pytest.skip("no toolchain")
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(23, 3))
+    b = rng.normal(size=(17, 3))
+    acc = np.full((24, 18), np.inf)
+    acc[0, 0] = 0
+    for i in range(1, 24):
+        for j in range(1, 18):
+            c = float(np.linalg.norm(a[i - 1] - b[j - 1]))
+            acc[i, j] = c + min(acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
+    assert abs(native.dtw_positions(a, b) - acc[23, 17]) < 1e-9
+    cm = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+    assert abs(native.dtw_costmatrix(cm) - acc[23, 17]) < 1e-9
+    # degenerate single-point sequences
+    assert native.dtw_positions(a[:1], b[:1]) == pytest.approx(
+        float(np.linalg.norm(a[0] - b[0]))
+    )

@@ -223,15 +223,24 @@ def compute_ce_episode_metrics(walked, gt, dist_to_goal) -> Dict[str, float]:
     gt_len = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
     success = float(d2g < SUCCESS_DISTANCE)
     oracle = float(min(dist_to_goal(p) for p in walked) < SUCCESS_DISTANCE)
-    # DTW over positions
-    n, m = len(walked), len(gt)
-    acc = np.full((n + 1, m + 1), np.inf)
-    acc[0, 0] = 0
-    for a in range(1, n + 1):
-        for b in range(1, m + 1):
-            cost = float(np.linalg.norm(walked[a - 1] - gt[b - 1]))
-            acc[a, b] = cost + min(acc[a - 1, b], acc[a, b - 1], acc[a - 1, b - 1])
-    ndtw = math.exp(-acc[n, m] / (m * SUCCESS_DISTANCE))
+    # DTW over positions: C++ kernel when the toolchain is present (role of
+    # the reference's fastdtw dep, measures.py:266-336 — exact here), else
+    # the numpy DP
+    from ..native import dtw_positions
+
+    m = len(gt)
+    dtw = dtw_positions(walked, gt)
+    if dtw is None:
+        n = len(walked)
+        acc = np.full((n + 1, m + 1), np.inf)
+        acc[0, 0] = 0
+        for a in range(1, n + 1):
+            for b in range(1, m + 1):
+                cost = float(np.linalg.norm(walked[a - 1] - gt[b - 1]))
+                acc[a, b] = cost + min(acc[a - 1, b], acc[a, b - 1],
+                                       acc[a - 1, b - 1])
+        dtw = acc[n, m]
+    ndtw = math.exp(-dtw / (m * SUCCESS_DISTANCE))
     return {
         "distance_to_goal": d2g,
         "success": success,

@@ -49,6 +49,13 @@ def parse_args(argv=None):
                    choices=["control", "teleport"],
                    help="eval-mode backtrack execution (ref IL.back_algo)")
     p.add_argument("--eval_batches", type=int, default=4)
+    p.add_argument("--data_path", default=None,
+                   help="VLN-CE episode file ({split}.json.gz; RxR: template "
+                        "with {role}) — loads real episodes instead of the "
+                        "synthetic set (ref TASK_CONFIG.DATASET.DATA_PATH)")
+    p.add_argument("--gt_path", default=None,
+                   help="{split}_gt.json.gz dense gt locations for nDTW "
+                        "(ref TASK.NDTW.GT_PATH)")
     return p.parse_args(argv)
 
 
@@ -88,7 +95,18 @@ def main(argv=None):
     cfg.batch_size = cfg.batch_size * n_dev
 
     rng = np.random.default_rng(cfg.seed)
-    episodes = make_synthetic_ce_episodes(rng, n=args.n_episodes)
+    if args.data_path:
+        from ..ce.dataset import (apply_gt_paths, load_gt_paths,
+                                  load_rxr_episodes, load_vlnce_episodes)
+
+        if args.task_type == "rxr":
+            episodes = load_rxr_episodes(args.data_path)
+        else:
+            episodes = load_vlnce_episodes(args.data_path)
+        if args.gt_path:
+            apply_gt_paths(episodes, load_gt_paths(args.gt_path))
+    else:
+        episodes = make_synthetic_ce_episodes(rng, n=args.n_episodes)
     env_kwargs = dict(
         grid_hw=cfg.shapes.grid_hw,
         grid_feat_size=cfg.model.bev_grid_feat_size,

@@ -63,6 +63,10 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.fg_visited.argtypes = [c_ptr, c_int]
     lib.fg_path.restype = c_int
     lib.fg_path.argtypes = [c_ptr, c_int, c_int, ip, c_int]
+    lib.dtw_positions.restype = c_dbl
+    lib.dtw_positions.argtypes = [dp, c_int, dp, c_int]
+    lib.dtw_costmatrix.restype = c_dbl
+    lib.dtw_costmatrix.argtypes = [dp, c_int, c_int]
     _lib = lib
     return lib
 
@@ -162,3 +166,27 @@ class NativeFloydGraph:
         if n < 0:
             raise ValueError(f"no path {x}->{y}")
         return [self._names[i] for i in buf[:n]]
+
+
+def dtw_positions(a: np.ndarray, b: np.ndarray) -> Optional[float]:
+    """Exact euclidean DTW between (n,3) and (m,3) position sequences in
+    C++ (navgraph.cpp dtw_positions); None when the toolchain is absent.
+    Role of the reference's fastdtw dep in the CE nDTW measure
+    (habitat_extensions/measures.py:266-336) — exact, O(m) memory."""
+    lib = _build()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(np.asarray(a, np.float64).reshape(-1, 3))
+    b = np.ascontiguousarray(np.asarray(b, np.float64).reshape(-1, 3))
+    return float(lib.dtw_positions(a.reshape(-1), len(a), b.reshape(-1), len(b)))
+
+
+def dtw_costmatrix(costs: np.ndarray) -> Optional[float]:
+    """DTW over a precomputed (n, m) ground-cost matrix (graph geodesics in
+    the discrete eval path, r2r/eval_utils.py:6-26)."""
+    lib = _build()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(costs, np.float64)
+    n, m = c.shape
+    return float(lib.dtw_costmatrix(c.reshape(-1), n, m))

@@ -16,6 +16,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC navgraph.cpp -o libnavgraph.so
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -189,6 +190,55 @@ int fg_visited(void* h, int k) {
 
 int fg_path(void* h, int x, int y, int* out, int max_len) {
   return static_cast<FloydEngine*>(h)->path(x, y, out, max_len);
+}
+
+// --------------------------------------------------------------- metric DP
+// Exact DTW between two (n,3)/(m,3) position sequences under the euclidean
+// ground distance. Role of the reference's fastdtw dependency in the CE nDTW
+// measure (habitat_extensions/measures.py:266-336) and the trainer-side
+// metric assembly (ss_trainer_BEV.py:1184-1209); exact instead of the
+// fastdtw radius-1 approximation, and O(m) memory via rolling rows.
+double dtw_positions(const double* a, int n, const double* b, int m) {
+  const double INF = 1e30;
+  std::vector<double> prev((size_t)m + 1, INF), cur((size_t)m + 1, INF);
+  prev[0] = 0.0;
+  for (int i = 1; i <= n; ++i) {
+    cur[0] = INF;
+    const double ax = a[(i - 1) * 3], ay = a[(i - 1) * 3 + 1],
+                 az = a[(i - 1) * 3 + 2];
+    for (int j = 1; j <= m; ++j) {
+      const double dx = ax - b[(j - 1) * 3], dy = ay - b[(j - 1) * 3 + 1],
+                   dz = az - b[(j - 1) * 3 + 2];
+      const double cost = std::sqrt(dx * dx + dy * dy + dz * dz);
+      double best = prev[j];                 // insertion
+      if (cur[j - 1] < best) best = cur[j - 1];   // deletion
+      if (prev[j - 1] < best) best = prev[j - 1]; // match
+      cur[j] = cost + best;
+    }
+    std::swap(prev, cur);
+  }
+  return prev[m];
+}
+
+// DTW over a precomputed cost matrix (row-major n x m) — serves the discrete
+// eval path where the ground distance is a graph geodesic
+// (map_nav_src/r2r/eval_utils.py:6-26 cal_dtw).
+double dtw_costmatrix(const double* c, int n, int m) {
+  const double INF = 1e30;
+  std::vector<double> prev((size_t)m + 1, INF), cur((size_t)m + 1, INF);
+  prev[0] = 0.0;
+  for (int i = 1; i <= n; ++i) {
+    cur[0] = INF;
+    const double* row = c + (size_t)(i - 1) * m;
+    for (int j = 1; j <= m; ++j) {
+      double best = prev[j];
+      if (cur[j - 1] < best) best = cur[j - 1];
+      if (prev[j - 1] < best) best = prev[j - 1];
+      cur[j] = row[j - 1] + best;
+    }
+    std::swap(prev, cur);
+  }
+  return prev[m];
 }
 
 }  // extern "C"

@@ -18,13 +18,24 @@ def compute_dtw_metrics(
     threshold: float = 3.0,
 ) -> Dict[str, float]:
     n, m = len(prediction), len(reference)
-    acc = np.full((n + 1, m + 1), np.inf)
-    acc[0, 0] = 0.0
-    for i in range(1, n + 1):
-        for j in range(1, m + 1):
-            cost = dist(prediction[i - 1], reference[j - 1])
-            acc[i, j] = cost + min(acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
-    dtw = acc[n, m]
+    # ground costs are graph geodesics (host dict lookups); the DP runs in
+    # C++ when available (native.dtw_costmatrix), else numpy
+    costs = np.empty((n, m))
+    for i in range(n):
+        for j in range(m):
+            costs[i, j] = dist(prediction[i], reference[j])
+    from ..native import dtw_costmatrix
+
+    dtw = dtw_costmatrix(costs)
+    if dtw is None:
+        acc = np.full((n + 1, m + 1), np.inf)
+        acc[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                acc[i, j] = costs[i - 1, j - 1] + min(
+                    acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1]
+                )
+        dtw = acc[n, m]
     ndtw = float(np.exp(-dtw / (threshold * m)))
     if success is None:
         success = float(dist(prediction[-1], reference[-1]) < threshold)
