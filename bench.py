@@ -38,9 +38,9 @@ V5E_BF16_PEAK = 197e12  # TPU v5e (v5 lite) bf16 peak per chip
 def main():
     import os
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from vln_bevbert_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache("/tmp/jax_cache")
 
     from vln_bevbert_tpu.configs import PretrainConfig
     from vln_bevbert_tpu.parallel import init_pretrain_state, make_pretrain_step

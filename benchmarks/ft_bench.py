@@ -4,8 +4,8 @@ import os, sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np, jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from vln_bevbert_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache("/tmp/jax_cache")
 
 from vln_bevbert_tpu.configs import FinetuneConfig, ModelConfig, ShapeConfig
 from vln_bevbert_tpu.data.feature_db import H5FeatureDB, write_synthetic_features

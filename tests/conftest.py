@@ -8,9 +8,8 @@ override must go through jax.config, before any backend is initialised.
 """
 
 import os
+import sys
 
-# silence XLA's cpu_aot_loader machine-feature warnings (the persistent cache
-# stores AOT results whose pseudo-features the loader mis-validates)
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
@@ -20,8 +19,14 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 # persistent jit cache: the suite is dominated by CPU compiles of the same
 # programs run-over-run (VERDICT r1: full suite ~15 min on a 1-core host);
-# cache hits turn those into millisecond deserialisations
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# cache hits turn those into millisecond deserialisations. The directory is
+# keyed by a host signature — XLA:CPU AOT entries embed compile-time machine
+# features and SIGABRT when loaded on a host with different ones (sandbox
+# machines change between rounds), and XLA's own cache key misses this.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from vln_bevbert_tpu.utils.cache import machine_cache_dir
+
+_CACHE_DIR = machine_cache_dir(os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,5 +1,6 @@
 """Trainer smoke tests: loop, validation, checkpoint save/restore parity."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -80,3 +81,24 @@ def test_train_validate_checkpoint_roundtrip(loaders, tmp_path):
     assert int(trainer.state.step) == 4
     # metrics file written
     assert (tmp_path / "run" / "metrics.jsonl").exists()
+
+
+def test_blocked_training_matches_per_step(loaders, tmp_path):
+    """task_block_size>1 routes training through stacked lax.scan block
+    dispatches; the resulting state must equal per-step training on the
+    identical batch stream."""
+    import dataclasses
+
+    cfg, train_loader, _ = loaders
+    t1 = PretrainTrainer(cfg, train_loader, output_dir=str(tmp_path / "a"))
+    s1 = t1.train(num_steps=4)
+
+    cfg2 = dataclasses.replace(cfg, task_block_size=2)
+    loader2 = type(train_loader)(train_loader.nav_db, cfg2, prefetch=0)
+    t2 = PretrainTrainer(cfg2, loader2, output_dir=str(tmp_path / "b"))
+    s2 = t2.train(num_steps=4)
+
+    assert int(s1.step) == int(s2.step) == 4
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

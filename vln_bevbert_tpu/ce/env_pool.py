@@ -115,6 +115,10 @@ class SubprocVectorEnv:
         # slot-routed passthrough for the control/oracle surface
         if name in _SLOT_METHODS:
             def call(slot, *args, **kwargs):
+                assert not self._obs_inflight, (
+                    "slot call while observations are in flight — call "
+                    "end_observations() first (pipe messages would interleave)"
+                )
                 w, local = self._route(slot)
                 self.workers[w].send("call", name, (local, *args), kwargs)
                 return self.workers[w].recv()

@@ -212,13 +212,19 @@ def _update(obj: Any, overrides: Dict[str, Any]) -> Any:
 
 
 def load_config(cls, json_path: Optional[str] = None, **overrides):
-    """Build a config with JSON-file defaults then keyword overrides, mirroring
+    """Build a config with file defaults then keyword overrides, mirroring
     the reference's argparse+JSON precedence (pretrain_src/parser.py:135-146,
-    CLI wins over file)."""
+    CLI wins over file). Accepts JSON or YAML files (the reference's CE
+    subsystem is YAML-configured, run_r2r/iter_train.yaml)."""
     cfg = cls()
     if json_path:
         with open(json_path) as f:
-            _update(cfg, json.load(f))
+            if json_path.endswith((".yaml", ".yml")):
+                import yaml
+
+                _update(cfg, yaml.safe_load(f) or {})
+            else:
+                _update(cfg, json.load(f))
     if overrides:
         _update(cfg, overrides)
     return cfg

@@ -1158,10 +1158,10 @@ def _dryrun_finetune_step(mesh, n_devices: int) -> None:
         max_pc_steps=2,
     )
     cfg = FinetuneConfig(
-        model=model_cfg, shapes=shapes, batch_size=2 * n_devices,
+        model=model_cfg, shapes=shapes, batch_size=1 * n_devices,
         max_action_len=3, learning_rate=1e-4,
     )
-    agent = make_replay_agent(cfg, batch_size=2 * n_devices, mesh=mesh)
-    rb = synthetic_replay_bundle(np.random.default_rng(0), cfg, 2 * n_devices)
+    agent = make_replay_agent(cfg, batch_size=1 * n_devices, mesh=mesh)
+    rb = synthetic_replay_bundle(np.random.default_rng(0), cfg, 1 * n_devices)
     loss = agent.learn_from_bundle(rb)
     assert np.isfinite(loss), loss

@@ -139,12 +139,12 @@ def make_pretrain_block_step(
     ``stacked=False`` the batch has the normal per-step shape and is re-fed
     every scan iteration (the bench pattern); with ``stacked=True`` it
     carries a leading K==length axis of distinct micro-batches consumed one
-    per step (stacked mode needs mesh=None — under a mesh the supplied
-    in_sharding shards the leading axis). This mirrors the MetaLoader's
-    task-block scheduling (data/loader.py) and amortises per-step host
-    dispatch — the production pattern for driving a TPU over a slow control
-    link, where per-step Python dispatch would bound throughput below what
-    the chip sustains."""
+    per step (under a mesh the batch axis 1 is sharded over dp, axis 0 — the
+    step axis — stays unsharded). This mirrors the MetaLoader's task-block
+    scheduling (data/loader.py) and amortises per-step host dispatch — the
+    production pattern for driving a TPU over a slow control link, where
+    per-step Python dispatch would bound throughput below what the chip
+    sustains."""
     loss_fn = make_loss_fn(model, projector)
 
     def block(state: TrainState, batch: Batch, rng, task: str, length: int,
@@ -172,14 +172,30 @@ def make_pretrain_block_step(
             donate_argnums=(0,),
         )
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("dp"))
-    return jax.jit(
+    data = NamedSharding(mesh, P("dp"))          # per-step batch: axis 0 = dp
+    data_stacked = NamedSharding(mesh, P(None, "dp"))  # (K, B, ...): axis 1
+    # pjit with in_shardings rejects kwargs -> static args go positionally
+    flat = jax.jit(
         block,
-        static_argnames=("task", "length", "stacked"),
+        static_argnums=(3, 4, 5),
         donate_argnums=(0,),
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
     )
+    stacked_jit = jax.jit(
+        block,
+        static_argnums=(3, 4, 5),
+        donate_argnums=(0,),
+        in_shardings=(repl, data_stacked, repl),
+        out_shardings=(repl, repl),
+    )
+
+    def dispatch(state, batch, rng, task: str, length: int,
+                 stacked: bool = False):
+        fn = stacked_jit if stacked else flat
+        return fn(state, batch, rng, task, length, stacked)
+
+    return dispatch
 
 
 def _ensure_task_keys(batch: Batch, cfg: PretrainConfig) -> Batch:

@@ -94,6 +94,8 @@ class PretrainTrainer:
 
     # ------------------------------------------------------------------ train
     def train(self, num_steps: Optional[int] = None):
+        if getattr(self.cfg, "task_block_size", 1) > 1:
+            return self._train_blocked(num_steps)
         cfg = self.cfg
         num_steps = num_steps or cfg.optim.num_train_steps
         meters = defaultdict(RunningMeter)
@@ -121,6 +123,76 @@ class PretrainTrainer:
                     },
                 )
             if cfg.valid_steps and step % cfg.valid_steps == 0:
+                self.validate(step)
+                self.save(step)
+        return self.state
+
+    def _train_blocked(self, num_steps: Optional[int] = None):
+        """Block-dispatch training: consecutive same-task batches (the
+        MetaLoader's block schedule) are stacked on a leading K axis and run
+        as ONE compiled lax.scan dispatch (parallel.make_pretrain_block_step;
+        scan==per-step equality pinned in tests/test_train_step.py). Removes
+        per-step host dispatch latency from the hot loop — measured 410 vs
+        330-390 samples/s through a slow control link. Logged metrics are the
+        last step of each block (the EMA meters absorb this)."""
+        import numpy as np
+
+        from ..parallel.train_step import make_pretrain_block_step
+
+        cfg = self.cfg
+        num_steps = num_steps or cfg.optim.num_train_steps
+        if not hasattr(self, "block_fn"):
+            self.block_fn = make_pretrain_block_step(
+                self.model, self.projector, self.mesh
+            )
+        meters = defaultdict(RunningMeter)
+        n_examples = 0
+        t_start = time.time()
+        step = int(self.state.step)
+        it = iter(self.train_loader)
+        pending = None
+        while step < num_steps:
+            task, batch = pending if pending is not None else next(it)
+            pending = None
+            base = task.split("_")[0]
+            blk = [batch]
+            while (
+                len(blk) < cfg.task_block_size and step + len(blk) < num_steps
+            ):
+                nxt_task, nxt_batch = next(it)
+                if nxt_task.split("_")[0] != base:
+                    pending = (nxt_task, nxt_batch)
+                    break
+                blk.append(nxt_batch)
+            k = len(blk)
+            if k == 1:
+                self.state, metrics = self.step_fn(
+                    self.state, batch, self.rng, base
+                )
+            else:
+                stacked = {
+                    key: np.stack([b[key] for b in blk]) for key in batch
+                }
+                self.state, metrics = self.block_fn(
+                    self.state, stacked, self.rng,
+                    task=base, length=k, stacked=True,
+                )
+            n_examples += k * self.train_loader.global_batch_size
+            prev_step, step = step, int(self.state.step)
+            for key, v in metrics.items():
+                meters[f"{base}/{key}"].update(float(v))
+            if step // cfg.log_steps > prev_step // cfg.log_steps:
+                ex_per_sec = n_examples / (time.time() - t_start)
+                self.logger.log(
+                    step,
+                    {
+                        "train/examples_per_sec": ex_per_sec,
+                        **{key: m.value for key, m in meters.items()},
+                    },
+                )
+            if cfg.valid_steps and (
+                step // cfg.valid_steps > prev_step // cfg.valid_steps
+            ):
                 self.validate(step)
                 self.save(step)
         return self.state
