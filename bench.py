@@ -53,7 +53,10 @@ def main():
 
     batch = synthetic_pretrain_batch(rng, B, cfg.shapes, cfg.model, raw_bev=True)
     model, projector, state = init_pretrain_state(cfg, batch)
-    block = make_pretrain_block_step(model, projector, None)
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))  # unroll=5 is ~7%
+    # faster (fewer scan carry copies) but quintuples cold compile time —
+    # enable when the compile cache is warm
+    block = make_pretrain_block_step(model, projector, None, unroll=unroll)
 
     batch = {k: jax.device_put(v) for k, v in batch.items()}
     from vln_bevbert_tpu.utils.rng import train_key

@@ -154,6 +154,10 @@ class PretrainConfig:
                                    # in-process prefetch thread); the role of
                                    # the reference DataLoader's n_workers
                                    # (pretrain_src/data/loader.py:149-156)
+    block_unroll: int = 5          # scan-unroll inside block dispatches:
+                                   # divides XLA's per-iteration carry copies
+                                   # of the param+opt state (~15% of a
+                                   # flagship step) at compile-time cost
     seed: int = 0
     valid_steps: int = 2500
     log_steps: int = 1000

@@ -131,6 +131,7 @@ def make_pretrain_block_step(
     model: GlocalTextPathCMTPreTraining,
     projector: BevProjector,
     mesh: Optional[Mesh] = None,
+    unroll: int = 1,
 ) -> Callable:
     """K optimizer steps per dispatch: ``lax.scan`` over the step body.
 
@@ -163,7 +164,12 @@ def make_pretrain_block_step(
             return new_state, metrics
 
         xs = batch if stacked else None
-        state, ms = jax.lax.scan(body, state, xs, length=length)
+        # unroll>1 divides the while-loop's per-iteration carry copies (XLA
+        # copies the full param+opt state between iterations — measured
+        # ~7 ms/step at flagship scale, 15% of the step) at the price of a
+        # proportionally larger body to compile
+        state, ms = jax.lax.scan(body, state, xs, length=length,
+                                 unroll=min(unroll, length))
         return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
     if mesh is None:

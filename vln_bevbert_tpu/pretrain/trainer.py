@@ -143,7 +143,8 @@ class PretrainTrainer:
         num_steps = num_steps or cfg.optim.num_train_steps
         if not hasattr(self, "block_fn"):
             self.block_fn = make_pretrain_block_step(
-                self.model, self.projector, self.mesh
+                self.model, self.projector, self.mesh,
+                unroll=getattr(cfg, "block_unroll", 1),
             )
         meters = defaultdict(RunningMeter)
         n_examples = 0
