@@ -99,6 +99,9 @@ def test_blocked_training_matches_per_step(loaders, tmp_path):
     s2 = t2.train(num_steps=4)
 
     assert int(s1.step) == int(s2.step) == 4
+    # atol: the unrolled block reduces the grad global-norm in a different
+    # order; adam's eps-normalisation amplifies that last-bit drift to
+    # O(lr * 1e-3) on near-zero-grad leaves (same caveat as the DP test)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-4, atol=2e-5)

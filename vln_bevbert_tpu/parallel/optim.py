@@ -59,7 +59,11 @@ def _decay_mask(params):
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
-def make_optimizer(cfg: OptimConfig, params_for_mask=None) -> optax.GradientTransformation:
+def make_optimizer(cfg: OptimConfig, params_for_mask=None,
+                   include_clip: bool = True) -> optax.GradientTransformation:
+    """``include_clip=False`` omits the global-norm clip from the chain for
+    callers that clip in the step body (one norm pass serves both the clip
+    and the grad_norm metric — see TrainState.apply_gradients)."""
     sched = lr_schedule(cfg)
     mask = None
     if params_for_mask is not None:
@@ -83,7 +87,8 @@ def make_optimizer(cfg: OptimConfig, params_for_mask=None) -> optax.GradientTran
         )
     else:
         raise ValueError(f"unknown optimizer: {cfg.optim}")
-    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm), inner)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm), inner) \
+        if include_clip else inner
     if wrapper == "ema":  # slow-weights variant in the spirit of Lookahead
         tx = optax.chain(tx, optax.ema(decay=0.5, debias=False))
     elif wrapper:

@@ -31,14 +31,27 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    clip_norm: Optional[float] = struct.field(pytree_node=False, default=None)
 
     def apply_gradients(self, grads):
+        """Optimiser update; with ``clip_norm`` set, clips by global norm in
+        the step body so ONE norm pass over the grads serves both the clip
+        and the grad_norm metric (returned second) — the reference computes
+        clip_grad_norm_'s return for logging the same way
+        (train_r2r.py:296-303)."""
+        gnorm = optax.global_norm(grads)
+        if self.clip_norm is not None:
+            # optax.clip_by_global_norm semantics: g * clip / max(norm, clip)
+            scale = self.clip_norm / jnp.maximum(gnorm, self.clip_norm)
+            grads = jax.tree_util.tree_map(
+                lambda g: g * scale.astype(g.dtype), grads
+            )
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         return self.replace(
             step=self.step + 1,
             params=optax.apply_updates(self.params, updates),
             opt_state=new_opt_state,
-        )
+        ), gnorm
 
 
 def build_projector(cfg: ModelConfig, shapes=None) -> BevProjector:
@@ -107,10 +120,10 @@ def make_pretrain_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, task, rng
         )
-        new_state = state.apply_gradients(grads)
+        new_state, gnorm = state.apply_gradients(grads)
         metrics = dict(metrics)
         metrics["loss"] = loss
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
         return new_state, metrics
 
     if mesh is None:
@@ -157,10 +170,10 @@ def make_pretrain_block_step(
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, b, task, r)
-            new_state = state.apply_gradients(grads)
+            new_state, gnorm = state.apply_gradients(grads)
             metrics = dict(metrics)
             metrics["loss"] = loss
-            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["grad_norm"] = gnorm
             return new_state, metrics
 
         xs = batch if stacked else None
@@ -256,11 +269,12 @@ def init_pretrain_state(
     init_fn = jax.jit(lambda rng, b: model.init(rng, b, method=model.init_all))
     variables = init_fn(jax.random.key(seed), init_batch)
     params = variables["params"]
-    tx = make_optimizer(cfg.optim, params_for_mask=params)
+    tx = make_optimizer(cfg.optim, params_for_mask=params, include_clip=False)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         tx=tx,
+        clip_norm=float(cfg.optim.grad_norm),
     )
     return model, projector, state

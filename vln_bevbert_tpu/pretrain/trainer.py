@@ -171,9 +171,23 @@ class PretrainTrainer:
                     self.state, batch, self.rng, base
                 )
             else:
-                stacked = {
-                    key: np.stack([b[key] for b in blk]) for key in batch
-                }
+                # batch-max bucketing makes shapes vary between batches;
+                # zero-pad each to the block max before stacking (identical
+                # semantics to a larger bucket: zeros + masks)
+                stacked = {}
+                for key in batch:
+                    arrs = [np.asarray(b[key]) for b in blk]
+                    shape = tuple(
+                        max(a.shape[d] for a in arrs)
+                        for d in range(arrs[0].ndim)
+                    )
+                    arrs = [
+                        a if a.shape == shape else np.pad(
+                            a, [(0, t - s) for s, t in zip(a.shape, shape)]
+                        )
+                        for a in arrs
+                    ]
+                    stacked[key] = np.stack(arrs)
                 self.state, metrics = self.block_fn(
                     self.state, stacked, self.rng,
                     task=base, length=k, stacked=True,
