@@ -108,12 +108,17 @@ class SyntheticContinuousEnv:
 
     # ----------------------------------------------------------- observations
     def _pose_rng(self, slot: int, salt: int = 0) -> np.random.Generator:
+        # stable across processes AND runs — python's hash() of strings is
+        # salted per interpreter (spawn-mode env workers would disagree with
+        # the parent)
+        import zlib
+
         ep = self.batch[slot]
-        key = hash(
-            (ep.episode_id, round(float(self.positions[slot][0]), 1),
-             round(float(self.positions[slot][2]), 1), salt)
-        ) & 0x7FFFFFFF
-        return np.random.default_rng(key)
+        tag = (
+            f"{ep.episode_id}|{round(float(self.positions[slot][0]), 1)}"
+            f"|{round(float(self.positions[slot][2]), 1)}|{salt}"
+        )
+        return np.random.default_rng(zlib.crc32(tag.encode()))
 
     def observations(self) -> List[dict]:
         out = []

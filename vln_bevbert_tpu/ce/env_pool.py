@@ -78,8 +78,14 @@ class SubprocVectorEnv:
     by the caller, mirroring env_utils' scene split)."""
 
     def __init__(self, factories: Sequence[Callable[[], Any]],
-                 slots_per_worker: int):
-        ctx = mp.get_context("fork")
+                 slots_per_worker: int, start_method: str = "spawn"):
+        """``start_method='spawn'`` (default) starts workers in fresh
+        interpreters — required once jax has initialised in the parent
+        (fork of a multithreaded process can deadlock; the reference forks
+        habitat workers before CUDA init for the same reason). Factories
+        must be picklable for spawn; 'fork' remains available for
+        closure factories in jax-free parents."""
+        ctx = mp.get_context(start_method)
         self.workers: List[WorkerHandle] = []
         for factory in factories:
             parent, child = ctx.Pipe()
@@ -187,23 +193,38 @@ class SubprocVectorEnv:
             pass
 
 
+class _SyntheticEnvFactory:
+    """Picklable worker factory (spawn-safe)."""
+
+    def __init__(self, episodes, batch_size, seed, obstacles, env_kwargs):
+        self.episodes = episodes
+        self.batch_size = batch_size
+        self.seed = seed
+        self.obstacles = obstacles
+        self.env_kwargs = env_kwargs
+
+    def __call__(self):
+        from .env import SyntheticContinuousEnv
+
+        return SyntheticContinuousEnv(
+            self.episodes, batch_size=self.batch_size, seed=self.seed,
+            obstacles=self.obstacles, **self.env_kwargs,
+        )
+
+
 def make_synthetic_pool(episodes, num_workers: int, slots_per_worker: int,
-                        seed: int = 0, obstacles=None, **env_kwargs
+                        seed: int = 0, obstacles=None,
+                        start_method: str = "spawn", **env_kwargs
                         ) -> SubprocVectorEnv:
     """Split episodes across workers (strided, like env_utils' scene split)
     and build a SubprocVectorEnv of SyntheticContinuousEnv workers."""
-    from .env import SyntheticContinuousEnv
-
     episodes = list(episodes)
-    factories = []
-    for w in range(num_workers):
-        eps = episodes[w::num_workers] or episodes
-        factories.append(
-            # bind per-worker values via default args (fork start method:
-            # closures are inherited, not pickled)
-            lambda eps=eps, w=w: SyntheticContinuousEnv(
-                eps, batch_size=slots_per_worker, seed=seed + w,
-                obstacles=obstacles, **env_kwargs,
-            )
+    factories = [
+        _SyntheticEnvFactory(
+            episodes[w::num_workers] or episodes, slots_per_worker,
+            seed + w, obstacles, env_kwargs,
         )
-    return SubprocVectorEnv(factories, slots_per_worker)
+        for w in range(num_workers)
+    ]
+    return SubprocVectorEnv(factories, slots_per_worker,
+                            start_method=start_method)

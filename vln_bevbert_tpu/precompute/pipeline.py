@@ -44,8 +44,12 @@ class SyntheticImageSource:
     def __iter__(self) -> Iterator[Tuple[str, str, dict]]:
         for scan, vps in self.scan_viewpoints.items():
             for vp in vps:
+                import zlib
+
+                # crc32, not hash(): string hashing is salted per
+                # interpreter, which would make re-runs non-reproducible
                 rng = np.random.default_rng(
-                    (hash((scan, vp, self.seed)) & 0x7FFFFFFF)
+                    zlib.crc32(f"{scan}|{vp}|{self.seed}".encode())
                 )
                 yield scan, vp, {
                     "views36": rng.integers(
