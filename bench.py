@@ -53,9 +53,12 @@ def main():
 
     batch = synthetic_pretrain_batch(rng, B, cfg.shapes, cfg.model, raw_bev=True)
     model, projector, state = init_pretrain_state(cfg, batch)
-    unroll = int(os.environ.get("BENCH_UNROLL", "1"))  # unroll=5 is ~7%
-    # faster (fewer scan carry copies) but quintuples cold compile time —
-    # enable when the compile cache is warm
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    # BENCH_UNROLL=5 measures the production config: +8.5% (447 vs 412
+    # samples/s, fewer scan carry copies) — but its ~5x bigger executables
+    # take minutes each to ship through the tunnelled dev backend even with
+    # a warm compile cache, blowing the bench wall-time budget, so the
+    # default stays 1 here. On a PCIe-local TPU VM, use 5.
     block = make_pretrain_block_step(model, projector, None, unroll=unroll)
 
     batch = {k: jax.device_put(v) for k, v in batch.items()}
@@ -66,7 +69,7 @@ def main():
     # exactly the 5:5:1 task mix, grouped as the block-scheduled MetaLoader
     # runs it (task_block_size amortises executable switches): one compiled
     # scan-block per task, 3 dispatches per 33-step mix cycle
-    blocks = [(t, 3 * r) for t, r in zip(cfg.tasks, cfg.mix_ratio)]
+    blocks = [(t, int(3 * r)) for t, r in zip(cfg.tasks, cfg.mix_ratio)]
 
     import sys
 

@@ -118,3 +118,60 @@ def test_evaluate_checkpoint_dir(ce_ctrl_world, tmp_path):
         agent, str(ckpt_dir), str(out_dir), num_batches=1
     )
     assert again.keys() == results.keys()
+
+
+def test_ce_cli_with_real_format_episodes(tmp_path):
+    """cli.ce_train --data_path consumes a release-format json.gz and runs
+    eval over it (the dataset-loader -> env -> agent path)."""
+    import gzip
+    import json
+
+    import numpy as np
+
+    from vln_bevbert_tpu.cli import ce_train
+
+    eps = []
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        start = [float(rng.uniform(0, 5)), 0.0, float(rng.uniform(0, 5))]
+        path = [start]
+        for _ in range(2):
+            p = path[-1]
+            path.append([p[0] + float(rng.uniform(1, 2)), 0.0,
+                         p[2] + float(rng.uniform(1, 2))])
+        eps.append({
+            "episode_id": i, "trajectory_id": i,
+            "scene_id": "mp3d/S/S.glb",
+            "start_position": start,
+            "start_rotation": [0.0, 0.0, 0.0, 1.0],
+            "goals": [{"position": path[-1], "radius": 3.0}],
+            "reference_path": path,
+            "instruction": {"instruction_text": "go",
+                            "instruction_tokens":
+                                rng.integers(2000, 4000, 12).tolist()},
+        })
+    data_path = tmp_path / "val_unseen.json.gz"
+    with gzip.open(data_path, "wt") as f:
+        json.dump({"episodes": eps, "instruction_vocab": {"word_list": []}}, f)
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "model": {"vocab_size": 30522, "hidden_size": 32,
+                  "num_attention_heads": 2, "intermediate_size": 64,
+                  "num_l_layers": 1, "num_pano_layers": 1, "num_x_layers": 1,
+                  "image_feat_size": 16, "bev_grid_feat_size": 12,
+                  "bev_dim": 5, "bev_res": 1.5, "dtype": "float32"},
+        "shapes": {"max_txt_len": 32, "max_steps": 4, "max_pano_len": 16,
+                   "max_gmap_len": 12, "max_local_len": 8, "max_objects": 0,
+                   "num_views": 12, "grid_hw": 4, "max_pc_steps": 3},
+        "batch_size": 2, "max_action_len": 3,
+    }))
+    out = tmp_path / "run"
+    ce_train.main([
+        "--config", str(cfg), "--data_path", str(data_path),
+        "--run_type", "eval", "--eval_batches", "1",
+        "--output_dir", str(out), "--seed", "0",
+    ])
+    metrics = [json.loads(l)
+               for l in (out / "metrics.jsonl").read_text().splitlines()]
+    assert any("eval/success" in m for m in metrics)

@@ -163,6 +163,7 @@ def make_pretrain_block_step(
 
     def block(state: TrainState, batch: Batch, rng, task: str, length: int,
               stacked: bool = False):
+        length = int(length)
 
         def body(state, xs):
             b = xs if stacked else batch
