@@ -149,3 +149,23 @@ def test_full_cycle_pretrain_to_finetune(tmp_path, monkeypatch):
     ])
     assert (ft_out / "metrics.jsonl").exists()
     assert any(p.name.startswith("preds_") for p in ft_out.iterdir())
+
+
+def test_finetune_cli_aug_alternation(tmp_path):
+    """--aug_path alternates gt/aug envs 1:1 per iteration
+    (ref main_nav.py:160-174)."""
+    from vln_bevbert_tpu.cli import finetune
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model": TINY_MODEL, "shapes": TINY_SHAPES,
+        "batch_size": 2, "max_action_len": 3,
+    }))
+    out = tmp_path / "run"
+    finetune.main([
+        "--synthetic", "--config", str(cfg_path), "--output_dir", str(out),
+        "--iters", "2", "--log_every", "2", "--feedback", "teacher",
+        "--synth_dir", str(tmp_path / "synth_aug"), "--aug_path", "synth",
+    ])
+    metrics = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
+    assert any("train/IL_loss" in m for m in metrics)

@@ -31,6 +31,11 @@ def parse_args(argv=None):
     p.add_argument("--test", action="store_true", help="evaluate only")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synth_dir", default="/tmp/bevbert_synth_nav")
+    p.add_argument("--aug_path", default=None,
+                   help="augmented-instruction annotations (jsonl; synthetic "
+                        "mode synthesises a set when 'synth' is passed) — "
+                        "training alternates gt/aug envs 1:1 per iteration "
+                        "(ref main_nav.py:160-174 prevalent_aug schedule)")
     return p.parse_args(argv)
 
 
@@ -64,6 +69,11 @@ def build_envs(cfg, args):
             )
         train_annos = make_synthetic_annotations(graphs, rng, n_items=64)
         val_annos = make_synthetic_annotations(graphs, rng, n_items=16)
+        aug_annos = (
+            make_synthetic_annotations(graphs, np.random.default_rng(args.seed + 41),
+                                       n_items=64)
+            if args.aug_path else None
+        )
         dbs = dict(
             view_db=H5FeatureDB(os.path.join(fts, "view_fts.hdf5")),
             # grid features stay float16 end-to-end: the agent uploads them
@@ -96,6 +106,13 @@ def build_envs(cfg, args):
 
         train_annos = load_annos("train")
         val_annos = load_annos("val_unseen")
+        aug_annos = None
+        if args.aug_path:
+            aug_annos = []
+            with open(args.aug_path) as f:
+                for line in f:
+                    if line.strip():
+                        aug_annos.append(json.loads(line))
         dbs = dict(
             view_db=H5FeatureDB(os.path.join(args.data_root, "view_fts.hdf5")),
             grid_db=H5FeatureDB(os.path.join(args.data_root, "grid_fts.hdf5"),
@@ -106,14 +123,17 @@ def build_envs(cfg, args):
     if args.expert_policy:
         cfg.expert_policy = args.expert_policy
     if args.dataset in ("reverie", "soon"):
-        return _make_obj_envs(
+        t, v = _make_obj_envs(
             cfg, args, graphs, cands, dbs, train_annos, val_annos
         )
+        return t, v, None  # object pipelines train on gt episodes only
     mk = lambda annos, name, seed: R2RNavBatch(
         annos, graphs, cands, batch_size=cfg.batch_size,
         image_feat_size=cfg.model.image_feat_size, seed=seed, name=name, **dbs,
     )
-    return mk(train_annos, "train", args.seed), mk(val_annos, "val_unseen", args.seed + 1)
+    aug_env = mk(aug_annos, "aug", args.seed + 2) if aug_annos else None
+    return (mk(train_annos, "train", args.seed),
+            mk(val_annos, "val_unseen", args.seed + 1), aug_env)
 
 
 def _make_obj_envs(cfg, args, graphs, cands, dbs, train_annos, val_annos):
@@ -205,7 +225,7 @@ def main(argv=None):
     mesh = make_mesh() if n_dev > 1 else None
     cfg.batch_size = cfg.batch_size * n_dev
 
-    train_env, val_env = build_envs(cfg, args)
+    train_env, val_env, aug_env = build_envs(cfg, args)
     agent = GMapNavAgent(cfg, train_env, seed=cfg.seed, mesh=mesh)
 
     pretrained = None
@@ -254,7 +274,18 @@ def main(argv=None):
     done = 0
     while done < cfg.iters:
         n = min(log_every, cfg.iters - done)
-        losses = agent.train_iters(n, feedback=args.feedback)
+        if aug_env is None:
+            losses = agent.train_iters(n, feedback=args.feedback)
+        else:
+            # alternate gt/aug envs 1:1 within the interval
+            # (ref main_nav.py:160-174)
+            losses = []
+            for _ in range(max(n // 2, 1)):
+                agent.env = train_env
+                losses += agent.train_iters(1, feedback=args.feedback)
+                agent.env = aug_env
+                losses += agent.train_iters(1, feedback=args.feedback)
+            agent.env = train_env
         done += n
         logger.log(done, {"train/IL_loss": float(sum(losses) / max(len(losses), 1))})
         avg = evaluate("val_unseen", done)
