@@ -162,3 +162,41 @@ def test_ndtw_expert_policy(nav_world):
         assert loss is not None and np.isfinite(loss)
     finally:
         agent.cfg.expert_policy = orig
+
+
+def test_expl_sample_rollout(nav_world):
+    """expl_sample feedback: argmax policy with epsilon exploration over
+    actionable map nodes (ref agent.py:569-580)."""
+    env, agent = nav_world
+    env.reset_epoch()
+    trajs, loss = agent.rollout(feedback="expl_sample", train=True)
+    assert len(trajs) == 2
+    assert loss is None or np.isfinite(loss)
+    assert all(len(t["path"]) >= 1 for t in trajs)
+
+
+def test_act_visited_nodes_masks(nav_world):
+    """--act_visited_nodes: only the current node is 'visited', previously
+    visited nodes remain actionable (ref agent.py:205-210)."""
+    import dataclasses
+
+    env, agent = nav_world
+    env.reset_epoch()
+    obs = env.reset()
+    from vln_bevbert_tpu.nav.graph_map import GraphMap
+
+    gmaps = [GraphMap(ob["viewpoint"]) for ob in obs]
+    for ob, g in zip(obs, gmaps):
+        g.update_graph(ob)
+    T, V = agent.cfg.max_action_len, agent.num_pano_slots
+    store = {"view_lens": np.zeros((T, len(obs)), np.int32)}
+    default = agent._nav_gmap_variable(obs, gmaps, store)
+    agent.cfg = dataclasses.replace(agent.cfg, act_visited_nodes=True)
+    try:
+        avn = agent._nav_gmap_variable(obs, gmaps, store)
+    finally:
+        agent.cfg = dataclasses.replace(agent.cfg, act_visited_nodes=False)
+    # with act_visited_nodes exactly one non-stop slot is marked visited
+    assert avn["gmap_visited_masks"][:, 1:].sum(-1).tolist() == [1, 1]
+    assert (avn["gmap_visited_masks"].sum(-1)
+            <= default["gmap_visited_masks"].sum(-1)).all()

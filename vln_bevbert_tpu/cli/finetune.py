@@ -22,10 +22,15 @@ def parse_args(argv=None):
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--log_every", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--act_visited_nodes", action="store_true",
+                   help="only the current node counts visited "
+                        "(ref parser.py --act_visited_nodes)")
+    p.add_argument("--eval_first", action="store_true",
+                   help="evaluate before training (ref parser.py --eval_first)")
     p.add_argument("--expert_policy", default=None, choices=["spl", "ndtw"],
                    help="teacher policy (ref ft_r2r.bash:30 spl, ft_rxr.bash:30 ndtw)")
     p.add_argument("--feedback", default="dagger",
-                   choices=["dagger", "teacher", "sample"])
+                   choices=["dagger", "teacher", "sample", "expl_sample"])
     p.add_argument("--pretrain_ckpt", default=None,
                    help="orbax checkpoint from bevbert-pretrain")
     p.add_argument("--test", action="store_true", help="evaluate only")
@@ -122,6 +127,8 @@ def build_envs(cfg, args):
 
     if args.expert_policy:
         cfg.expert_policy = args.expert_policy
+    if args.act_visited_nodes:
+        cfg.act_visited_nodes = True
     if args.dataset in ("reverie", "soon"):
         t, v = _make_obj_envs(
             cfg, args, graphs, cands, dbs, train_annos, val_annos
@@ -209,6 +216,8 @@ def main(argv=None):
         cfg.ml_weight = 0.8
     if args.expert_policy:
         cfg.expert_policy = args.expert_policy
+    if args.act_visited_nodes:
+        cfg.act_visited_nodes = True
     if args.dataset in ("reverie", "soon"):
         # object tokens + OG head (ref scripts/ft_rvr.bash:8 obj_ft_dim=768,
         # :39 max_objects=20)
@@ -270,6 +279,8 @@ def main(argv=None):
         return
 
     best = {"score": -1.0}
+    if args.eval_first:
+        evaluate("val_unseen", 0)
     log_every = cfg.log_every
     done = 0
     while done < cfg.iters:

@@ -182,7 +182,12 @@ class FinetuneConfig:
     iters: int = 40000
     log_every: int = 2000
     ml_weight: float = 0.2
-    feedback: str = "sample"       # student policy during DAgger
+    feedback: str = "sample"       # student policy during DAgger; also
+                                   # {teacher, argmax, expl_sample}
+    expl_max_ratio: float = 0.6    # expl_sample: explore w.p. 1 - ratio
+                                   # (ref parser.py --expl_max_ratio)
+    act_visited_nodes: bool = False  # only the current node counts visited
+                                   # (ref parser.py --act_visited_nodes)
     max_action_len: int = 15
     max_instr_len: int = 200
     expert_policy: str = "spl"     # {spl, ndtw}

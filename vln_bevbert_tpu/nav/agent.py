@@ -546,11 +546,21 @@ class GMapNavAgent:
             "gmap_pair_dists": np.zeros((B, N, N), np.float32),
             "no_vp_left": [],
         }
+        act_visited = getattr(self.cfg, "act_visited_nodes", False)
         for i, (ob, gmap) in enumerate(zip(obs, gmaps)):
-            visited = [k for k in gmap.node_positions if gmap.graph.visited(k)]
-            unvisited = [
-                k for k in gmap.node_positions if not gmap.graph.visited(k)
-            ]
+            if act_visited:
+                # only the CURRENT node counts as visited, so previously
+                # visited nodes stay actionable (ref agent.py:205-210
+                # --act_visited_nodes)
+                visited = [k for k in gmap.node_positions
+                           if k == ob["viewpoint"]]
+                unvisited = [k for k in gmap.node_positions
+                             if k != ob["viewpoint"]]
+            else:
+                visited = [k for k in gmap.node_positions
+                           if gmap.graph.visited(k)]
+                unvisited = [k for k in gmap.node_positions
+                             if not gmap.graph.visited(k)]
             out["no_vp_left"].append(len(unvisited) == 0)
             vpids = ([None] + visited + unvisited)[:N]
             n = len(vpids)
@@ -912,6 +922,28 @@ class GMapNavAgent:
                         for p in nav_probs
                     ]
                 )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ent = -np.nansum(
+                        np.where(nav_probs > 0,
+                                 nav_probs * np.log(nav_probs), 0.0), -1
+                    )
+                self.logs["entropy"].append(float(ent.sum()))
+            elif feedback == "expl_sample":
+                # argmax with epsilon exploration over actionable entries
+                # (ref agent.py:569-580: explore w.p. 1 - expl_max_ratio)
+                a_t = nav_logits.argmax(-1)
+                if self.cfg.fusion == "local":
+                    actionable = np.asarray(nav_b["bev_nav_masks"], bool)
+                else:
+                    actionable = np.asarray(nav_g["gmap_masks"], bool) & ~(
+                        np.asarray(nav_g["gmap_visited_masks"], bool)
+                    )
+                explore = self.np_rng.random(B) > self.cfg.expl_max_ratio
+                for i in range(B):
+                    if explore[i] and actionable[i].any():
+                        a_t[i] = self.np_rng.choice(
+                            np.arange(actionable.shape[1])[actionable[i]]
+                        )
             else:
                 raise ValueError(feedback)
 
