@@ -42,11 +42,13 @@ from .waypoint_predictor import WaypointPredictor, extract_waypoints
 class CEAgent(GMapNavAgent):
     def __init__(self, cfg: FinetuneConfig, env: SyntheticContinuousEnv,
                  seed: int = 0, loc_noise: float = 0.5, ghost_aug: float = 0.0,
-                 sample_ratio: float = 0.75, mesh=None):
+                 sample_ratio: float = 0.75, waypoint_aug: bool = True,
+                 mesh=None):
         super().__init__(cfg, env, seed=seed, mesh=mesh)
         self.loc_noise = loc_noise
         self.ghost_aug = ghost_aug
         self.sample_ratio = sample_ratio
+        self.waypoint_aug = waypoint_aug  # ref IL.waypoint_aug (main.bash:19)
         self.wp_model = WaypointPredictor(cfg.model)
         self.wp_params = None
 
@@ -345,7 +347,7 @@ class CEAgent(GMapNavAgent):
             )
             cand_angles, cand_dists, _ = extract_waypoints(
                 heat, max_candidates=min(5, cfg.shapes.max_local_len - 1),
-                in_train=train, rng=self.np_rng,
+                in_train=train and self.waypoint_aug, rng=self.np_rng,
             )
 
             # 2. pano encoding (async dispatch; forced after the lift prep so

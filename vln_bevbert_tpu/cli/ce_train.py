@@ -49,6 +49,15 @@ def parse_args(argv=None):
                    choices=["control", "teleport"],
                    help="eval-mode backtrack execution (ref IL.back_algo)")
     p.add_argument("--eval_batches", type=int, default=4)
+    p.add_argument("--loc_noise", type=float, default=0.5,
+                   help="candidate merge radius in metres (ref IL.loc_noise)")
+    p.add_argument("--ghost_aug", type=float, default=0.0,
+                   help="train-time ghost position noise (ref IL.ghost_aug)")
+    p.add_argument("--ml_weight", type=float, default=None,
+                   help="imitation loss weight (ref IL.ml_weight)")
+    p.add_argument("--no_waypoint_aug", action="store_true",
+                   help="disable train-time waypoint sampling augmentation "
+                        "(ref IL.waypoint_aug)")
     p.add_argument("--data_path", default=None,
                    help="VLN-CE episode file ({split}.json.gz; RxR: template "
                         "with {role}) — loads real episodes instead of the "
@@ -125,8 +134,11 @@ def main(argv=None):
         env = SyntheticContinuousEnv(
             episodes, batch_size=cfg.batch_size, seed=cfg.seed, **env_kwargs,
         )
+    if args.ml_weight is not None:
+        cfg.ml_weight = args.ml_weight
     agent = CEAgent(cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio,
-                    mesh=mesh)
+                    loc_noise=args.loc_noise, ghost_aug=args.ghost_aug,
+                    waypoint_aug=not args.no_waypoint_aug, mesh=mesh)
     pretrained = None
     if args.pretrain_ckpt:
         import orbax.checkpoint as ocp
