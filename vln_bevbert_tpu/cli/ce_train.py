@@ -27,9 +27,34 @@ def parse_args(argv=None):
     p.add_argument("--pretrain_ckpt", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--test", action="store_true")
-    p.add_argument("--trainer", default="ss-bev", choices=["ss-bev", "ss-etp"],
-                   help="ss-etp = topo-only ETP architecture (ref run.py "
-                        "TRAINER_NAME registry: SS-BEV / SS-ETP)")
+    p.add_argument("--trainer", default="ss-bev",
+                   choices=["ss-bev", "ss-etp", "dagger"],
+                   help="ss-etp = topo-only ETP architecture; dagger = "
+                        "recollection-store DAgger training (ref run.py "
+                        "TRAINER_NAME registry: SS-BEV / SS-ETP / dagger)")
+    p.add_argument("--policy", default="bev",
+                   choices=["bev", "etp", "prevalent"],
+                   help="dagger: policy to train — glocal BEV / topo-only "
+                        "ETP via the replay-bundle store, or the legacy "
+                        "Recurrent VLN-BERT (PREVALENT) via the transition "
+                        "store (ref MODEL.policy_name VLNBERT branch)")
+    p.add_argument("--dagger_iters", type=int, default=3,
+                   help="dagger iterations (ref IL.DAGGER.iterations)")
+    p.add_argument("--update_size", type=int, default=32,
+                   help="episodes collected per dagger iteration "
+                        "(ref IL.DAGGER.update_size)")
+    p.add_argument("--dagger_p", type=float, default=0.75,
+                   help="teacher-mix decay base: beta = p**iter "
+                        "(ref IL.DAGGER.p)")
+    p.add_argument("--dagger_epochs", type=int, default=2,
+                   help="training epochs over the store per iteration "
+                        "(ref IL.epochs)")
+    p.add_argument("--store_dir", default=None,
+                   help="disk directory for the recollection store (ref "
+                        "IL.DAGGER.lmdb_features_dir; default "
+                        "<output_dir>/store)")
+    p.add_argument("--store_capacity", type=int, default=None,
+                   help="max episodes kept (FIFO eviction); None = unbounded")
     p.add_argument("--num_env_workers", type=int, default=0,
                    help=">0: subprocess env pool with this many workers "
                         "(ref env_utils.py NUM_ENVIRONMENTS=8/rank)")
@@ -85,7 +110,9 @@ def main(argv=None):
     if cfg.model.bev_dim == 21:
         cfg.model.bev_dim = 11
         cfg.model.bev_res = 1.0
-    if args.trainer == "ss-etp":
+    if args.trainer == "ss-etp" or (
+        args.trainer == "dagger" and args.policy == "etp"
+    ):
         # topo-only: no local BEV branch at all (ref ss_trainer_ETP.py +
         # models/etp/vilmodel_cmt.py:721-751)
         cfg.model.use_bev = False
@@ -136,6 +163,32 @@ def main(argv=None):
         )
     if args.ml_weight is not None:
         cfg.ml_weight = args.ml_weight
+
+    if args.trainer == "dagger":
+        from ..ce.dagger import PrevalentDaggerAgent, run_dagger
+
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        logger = MetricLogger(cfg.output_dir)
+        store_dir = args.store_dir or os.path.join(cfg.output_dir, "store")
+        if args.policy == "prevalent":
+            agent = PrevalentDaggerAgent(cfg, env, seed=cfg.seed)
+            agent.init_params()
+        else:
+            agent = CEAgent(
+                cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio,
+                loc_noise=args.loc_noise, ghost_aug=args.ghost_aug,
+                waypoint_aug=not args.no_waypoint_aug,
+            )
+            agent.init_params()
+        run_dagger(
+            agent, store_dir, policy=args.policy,
+            dagger_iters=args.dagger_iters, update_size=args.update_size,
+            p=args.dagger_p, epochs=args.dagger_epochs,
+            capacity=args.store_capacity, log_fn=logger.log,
+        )
+        agent.save_ckpt(os.path.join(cfg.output_dir, "ckpt_dagger"))
+        return
+
     agent = CEAgent(cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio,
                     loc_noise=args.loc_noise, ghost_aug=args.ghost_aug,
                     waypoint_aug=not args.no_waypoint_aug, mesh=mesh)

@@ -1156,6 +1156,45 @@ class GMapNavAgent:
         return losses
 
 
+def make_replay_block(agent: "GMapNavAgent", length: int):
+    """Compiled ``lax.scan`` of ``length`` replay updates (episode BPTT loss +
+    grad + optimizer) in ONE program.
+
+    One host dispatch covers ``length`` optimizer steps, so the measured time
+    is device time — immune to per-dispatch RPC latency on tunnelled dev
+    backends (the failure mode that made per-step ft timing meaningless, see
+    ROADMAP.md "Environment gotchas"). Usable both as a bench probe and as a
+    real replay-training inner loop over a fixed bundle.
+    """
+    import functools
+
+    loss_grad = jax.value_and_grad(agent._episode_loss)
+    tx = agent.tx
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def block(params, opt_state, rb, key):
+        T = rb["targets"].shape[0]
+
+        def body(carry, k):
+            params, opt_state = carry
+            ks = jax.random.split(k, T + 2)
+            rb_step = dict(rb)
+            rb_step["rng"] = ks[:T]
+            rb_step["rng_lang"] = ks[T]
+            rb_step["rng_pano"] = ks[T + 1]
+            loss, grads = loss_grad(params, rb_step)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(key, length)
+        )
+        return params, opt_state, losses
+
+    return block
+
+
 class _EnvStub:
     """Just enough env surface for init_params/learn_from_bundle."""
 
@@ -1173,25 +1212,32 @@ def make_replay_agent(cfg: FinetuneConfig, batch_size: int, mesh=None,
 
 
 def _dryrun_finetune_step(mesh, n_devices: int) -> None:
-    """One mesh-sharded replay update at flagship width (hidden 768) with
-    reduced depth/shapes — called from __graft_entry__.dryrun_multichip."""
+    """One mesh-sharded replay update at reduced width — called from
+    __graft_entry__.dryrun_multichip.
+
+    Width/depth are cut (hidden 256, 1 layer per stack, 2 BPTT steps): the
+    dryrun's job is proving the sharded episode-BPTT program compiles and
+    executes over the mesh inside the driver's clock — round 2 ran this at
+    hidden 768 and burned ~13 min of an 8x-time-shared single core.
+    Hidden-768 replay sharding math is pinned by tests/test_train_step.py's
+    DP==single-device equality tests."""
     from ..configs import ModelConfig, ShapeConfig
     from ..data.synthetic import synthetic_replay_bundle
 
     model_cfg = ModelConfig(
-        vocab_size=4096, hidden_size=768, num_attention_heads=12,
-        intermediate_size=3072, num_l_layers=1, num_pano_layers=1,
-        num_x_layers=1, image_feat_size=768, bev_grid_feat_size=768,
+        vocab_size=2048, hidden_size=256, num_attention_heads=4,
+        intermediate_size=1024, num_l_layers=1, num_pano_layers=1,
+        num_x_layers=1, image_feat_size=256, bev_grid_feat_size=256,
         bev_dim=5, dtype="float32", max_position_embeddings=64,
     )
     shapes = ShapeConfig(
-        max_txt_len=32, max_steps=4, max_pano_len=8, max_gmap_len=8,
+        max_txt_len=16, max_steps=3, max_pano_len=8, max_gmap_len=8,
         max_local_len=4, max_objects=0, num_views=4, grid_hw=4,
         max_pc_steps=2,
     )
     cfg = FinetuneConfig(
         model=model_cfg, shapes=shapes, batch_size=1 * n_devices,
-        max_action_len=3, learning_rate=1e-4,
+        max_action_len=2, learning_rate=1e-4,
     )
     agent = make_replay_agent(cfg, batch_size=1 * n_devices, mesh=mesh)
     rb = synthetic_replay_bundle(np.random.default_rng(0), cfg, 1 * n_devices)
