@@ -96,6 +96,23 @@ def test_nms_peaks_and_extract():
     assert set(np.round(deg[by_score], 5)) == {30.0, 180.0}
 
 
+def test_nms_fractional_angle_center():
+    """The ref's suppression center on the angle axis is FRACTIONAL
+    (utils.py:54: y = ix / width true division -> ai + di/n_dist), so for a
+    peak at (a=20, d=6), sigma angle 5: rows 16..25 are suppressed — row
+    a-5=15 survives, row a+5=25 is suppressed (ADVICE r2)."""
+    heat = np.full((1, NUM_ANGLES, NUM_CLASSES), -10.0, np.float32)
+    heat[0, 20, 6] = 5.0
+    heat[0, 15, 6] = 4.0  # exactly 5 rows below: survives (center 20.5)
+    heat[0, 25, 6] = 4.0  # exactly 5 rows above: suppressed
+    peaks = nms_peaks(
+        np.exp(heat), max_predictions=5, sigma=(7.0, 5.0)
+    )
+    assert peaks[0, 20, 6] > 0
+    assert peaks[0, 15, 6] > 0
+    assert peaks[0, 25, 6] == 0
+
+
 def test_waypoint_train_sampling():
     rng = np.random.default_rng(3)
     heat = np.full((2, NUM_ANGLES, NUM_CLASSES), -10.0, np.float32)

@@ -71,6 +71,24 @@ def test_pool_async_observations(pool):
     np.testing.assert_array_equal(obs[0]["rgb"], obs2[0]["rgb"])
 
 
+def test_pool_inflight_guard_on_gather_paths(pool):
+    """Gather-style RPCs (reset/size/properties) must fail loudly while
+    observation replies are pending — a silent send would mis-pair pipe
+    messages and return the observation payload as the gather result
+    (ADVICE r2)."""
+    pool.reset()
+    pool.begin_observations()
+    try:
+        with pytest.raises(AssertionError, match="in flight"):
+            pool.size()
+        with pytest.raises(AssertionError, match="in flight"):
+            _ = pool.headings
+        with pytest.raises(AssertionError, match="in flight"):
+            pool.teleport(0, np.zeros(3))
+    finally:
+        pool.end_observations()  # drain so later tests see a clean pipe
+
+
 def test_pool_worker_error_surfaces(pool):
     with pytest.raises(RuntimeError, match="env worker failed"):
         pool.teleport(0, "not-a-position-at-all", heading="nope")

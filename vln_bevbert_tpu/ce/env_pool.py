@@ -112,7 +112,17 @@ class SubprocVectorEnv:
     def _route(self, slot: int):
         return divmod(slot, self.slots_per_worker)
 
+    def _assert_no_inflight(self):
+        # every RPC path must fail loudly while observation replies are
+        # pending: a second request would mis-pair pipe messages and recv()
+        # would silently return the observation payload (ADVICE r2)
+        assert not self._obs_inflight, (
+            "RPC while observations are in flight — call "
+            "end_observations() first (pipe messages would interleave)"
+        )
+
     def _call_all(self, name: str, *args, **kwargs) -> List[Any]:
+        self._assert_no_inflight()
         for w in self.workers:
             w.send("call", name, args, kwargs)
         return [w.recv() for w in self.workers]
@@ -121,10 +131,7 @@ class SubprocVectorEnv:
         # slot-routed passthrough for the control/oracle surface
         if name in _SLOT_METHODS:
             def call(slot, *args, **kwargs):
-                assert not self._obs_inflight, (
-                    "slot call while observations are in flight — call "
-                    "end_observations() first (pipe messages would interleave)"
-                )
+                self._assert_no_inflight()
                 w, local = self._route(slot)
                 self.workers[w].send("call", name, (local, *args), kwargs)
                 return self.workers[w].recv()

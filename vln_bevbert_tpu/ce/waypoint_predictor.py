@@ -137,10 +137,15 @@ def _suppression_mask(ai: np.ndarray, di: np.ndarray, n_ang: int, n_dist: int,
     """(B, n_ang, n_dist) rectangle masks around each (ai, di) peak —
     the ref's ``neighborhoods`` with circular_x on the distance axis
     (utils.py:7-33; their x = ix % width = distance bin). The circularity is
-    asymmetric there: min(|dx|, |dx + range|), mirrored verbatim."""
+    asymmetric there: min(|dx|, |dx + range|), mirrored verbatim. The angle
+    center is FRACTIONAL: the ref computes y = ix / shape[-1] with torch
+    true division (utils.py:54), i.e. ai + di/n_dist, so for distance bin
+    d > 0 the suppressed angle rows are [ai - sigma + d/n_dist ... ai +
+    sigma + d/n_dist] rounded inward — mirrored exactly."""
     dx = np.arange(n_dist)[None, None, :] - di[:, None, None].astype(np.float64)
     dx = np.minimum(np.abs(dx), np.abs(dx + n_dist))
-    dy = np.abs(np.arange(n_ang)[None, :, None] - ai[:, None, None])
+    y_mu = ai[:, None, None] + di[:, None, None] / float(n_dist)
+    dy = np.abs(np.arange(n_ang)[None, :, None] - y_mu)
     return ((dx <= sigma[0]) & (dy <= sigma[1])).astype(np.float64)
 
 

@@ -288,13 +288,12 @@ def main(argv=None):
         if aug_env is None:
             losses = agent.train_iters(n, feedback=args.feedback)
         else:
-            # alternate gt/aug envs 1:1 within the interval
-            # (ref main_nav.py:160-174)
+            # alternate gt/aug envs 1:1 per iteration, keyed by the global
+            # iteration parity so odd intervals stay exact
+            # (ref main_nav.py:160-174 alternates per iteration)
             losses = []
-            for _ in range(max(n // 2, 1)):
-                agent.env = train_env
-                losses += agent.train_iters(1, feedback=args.feedback)
-                agent.env = aug_env
+            for i in range(n):
+                agent.env = train_env if (done + i) % 2 == 0 else aug_env
                 losses += agent.train_iters(1, feedback=args.feedback)
             agent.env = train_env
         done += n
