@@ -51,9 +51,9 @@ V5E_BF16_PEAK = 197e12  # TPU v5e (v5 lite) bf16 peak per chip
 # path. BENCH_MEASURE_FLOPS=1 re-derives it. The fingerprint guards the pin:
 # if PretrainConfig's defaults drift from the config the constant was
 # measured for, the pin is stale and we force a re-measure (ADVICE r2).
-FLOPS_PER_SAMPLE_PINNED = 138.64e9  # 2026-08-16, mix-weighted
-# mlm:sap:masksem 5:5:1, B=16, fwd+bwd+AdamW, bf16 scores program
-FLOPS_PINNED_FINGERPRINT = "7680c116dd6f"
+FLOPS_PER_SAMPLE_PINNED = 138.65e9  # 2026-08-17, mix-weighted
+# mlm:sap:masksem 5:5:1, B=16, fwd+bwd+AdamW, bf16 scores + bf16 adam-mu
+FLOPS_PINNED_FINGERPRINT = "e3af8712b388"
 
 
 def _config_fingerprint(cfg) -> str:

@@ -48,6 +48,55 @@ def test_precompute_pipeline(tmp_path):
         assert f["scanA_vp0"].shape == (3, 4, 4)
 
 
+def test_precompute_reference_dump_products(tmp_path):
+    """The reference's two standalone dump products: raw 36-view image dbs
+    (save_habitat_img.py layout — BGR uint8 / float32 depth + geometry
+    attrs) and DDPPO depth features pooled per view (save_depth_feature.py
+    layout), readable back through H5FeatureDB."""
+    import h5py
+
+    from vln_bevbert_tpu.data.feature_db import H5FeatureDB
+    from vln_bevbert_tpu.precompute import (
+        SyntheticImageSource,
+        dump_depth_features,
+        dump_raw_view_images,
+    )
+
+    src = SyntheticImageSource({"scanA": ["vp0"]}, image_hw=64, grid_hw=4,
+                               num_views=2)
+    rgb_db = dump_raw_view_images(
+        src, str(tmp_path / "habitat_64x64_vfov60_bgr.hdf5"), "rgb",
+        progress_every=0)
+    depth_db = dump_raw_view_images(
+        src, str(tmp_path / "habitat_64x64_vfov60_depth.hdf5"), "depth",
+        progress_every=0)
+    with h5py.File(rgb_db) as f:
+        d = f["scanA_vp0"]
+        assert d.shape == (36, 64, 64, 3) and d.dtype == np.uint8
+        assert d.attrs["scanId"] == "scanA" and d.attrs["vfov"] == 60
+        assert d.attrs["image_w"] == 64 and d.attrs["image_h"] == 64
+        # stored BGR: channel order is reversed vs the source frames
+        frames = next(iter(src))[2]["views36"]
+        np.testing.assert_array_equal(d[...], frames[..., ::-1])
+    with h5py.File(depth_db) as f:
+        d = f["scanA_vp0"]
+        assert d.shape == (36, 64, 64, 1) and d.dtype == np.float32
+
+    ft_db = dump_depth_features(depth_db, str(tmp_path / "depth_fts.hdf5"),
+                                progress_every=0)
+    with h5py.File(ft_db) as f:
+        d = f["scanA_vp0"]
+        assert d.shape[0] == 36 and d.ndim == 2
+        assert d.dtype == np.float32
+        assert d.attrs["viewpointId"] == "vp0"
+        fts = d[...]
+        assert np.isfinite(fts).all() and fts.min() >= 0  # post-ReLU pool
+    # consumable through the training-side reader
+    reader = H5FeatureDB(ft_db)
+    arr = reader.get("scanA", "vp0")
+    np.testing.assert_allclose(arr, fts, rtol=1e-6)
+
+
 def test_visualizer(tmp_path):
     from vln_bevbert_tpu.utils.visualize import (
         render_bev_mask,

@@ -193,7 +193,8 @@ class PrevalentDaggerAgent:
         self.params = None
         self.tx = optax.chain(
             optax.clip_by_global_norm(grad_norm),
-            optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),
+            optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay,
+                        mu_dtype=jnp.bfloat16),
         )
         self.opt_state = None
         self._jitted: Dict[str, Any] = {}

@@ -41,6 +41,19 @@ def parse_args(argv=None):
                         "mode synthesises a set when 'synth' is passed) — "
                         "training alternates gt/aug envs 1:1 per iteration "
                         "(ref main_nav.py:160-174 prevalent_aug schedule)")
+    p.add_argument("--val_splits", default=None,
+                   help="comma-separated eval splits; defaults to the "
+                        "reference's val_train_seen,val_seen,val_unseen for "
+                        "real data (main_nav.py:71-75) and val_unseen for "
+                        "synthetic runs. Missing split files are skipped with "
+                        "a warning. Best-ckpt selection stays on val_unseen.")
+    p.add_argument("--submit", action="store_true",
+                   help="also build the leaderboard test split(s) as eval "
+                        "envs and dump predictions for them "
+                        "(ref main_nav.py:77-81)")
+    p.add_argument("--tokenizer", default="bert", choices=["bert", "xlm"],
+                   help="annotation tokenizer variant (selects REVERIE "
+                        "_enc vs _enc_xlmr files, ref reverie/data_utils.py:57-63)")
     return p.parse_args(argv)
 
 
@@ -73,7 +86,13 @@ def build_envs(cfg, args):
                 grid_hw=cfg.shapes.grid_hw, num_views=cfg.shapes.num_views,
             )
         train_annos = make_synthetic_annotations(graphs, rng, n_items=64)
-        val_annos = make_synthetic_annotations(graphs, rng, n_items=16)
+        val_splits = (
+            args.val_splits.split(",") if args.val_splits else ["val_unseen"]
+        )
+        val_annos = {
+            s: make_synthetic_annotations(graphs, rng, n_items=16)
+            for s in val_splits
+        }
         aug_annos = (
             make_synthetic_annotations(graphs, np.random.default_rng(args.seed + 41),
                                        n_items=64)
@@ -99,25 +118,52 @@ def build_envs(cfg, args):
         else:
             cands = build_scanvp_cands(graphs)
 
+        # accepts both the native jsonl and the published reference formats
+        # (R2R_%s_enc.json JSON lists, rxr guide jsonl, REVERIE/SOON shapes)
+        # — resolution + schema sniff in data/annotations.py
+        from ..data.annotations import construct_instrs
+
         def load_annos(split):
-            out = []
-            with open(
-                os.path.join(args.data_root, f"{args.dataset}_{split}_enc.jsonl")
-            ) as f:
-                for line in f:
-                    if line.strip():
-                        out.append(json.loads(line))
-            return out
+            return construct_instrs(
+                args.data_root, args.dataset, [split],
+                tokenizer=args.tokenizer, is_test=args.test,
+                rng=np.random.default_rng(args.seed),
+            )
 
         train_annos = load_annos("train")
-        val_annos = load_annos("val_unseen")
+        val_splits = (
+            args.val_splits.split(",") if args.val_splits
+            else ["val_train_seen", "val_seen", "val_unseen"]
+        )
+        if args.submit:
+            # leaderboard splits (ref main_nav.py:77-81)
+            val_splits += (
+                ["test_challenge_public", "test_standard_public"]
+                if args.dataset == "rxr" else ["test"]
+            )
+        val_annos = {}
+        for s in val_splits:
+            try:
+                annos = load_annos(s)
+                if args.dataset == "rxr" and not args.test:
+                    # rxr val is large; the reference evaluates every 8th
+                    # item during training (main_nav.py:86-89)
+                    annos = annos[::8]
+                val_annos[s] = annos
+            except FileNotFoundError as e:
+                print(f"[finetune] skipping eval split {s}: {e}")
+        if not val_annos:
+            raise FileNotFoundError(
+                f"none of the eval splits {val_splits} found under "
+                f"{args.data_root}"
+            )
         aug_annos = None
         if args.aug_path:
-            aug_annos = []
-            with open(args.aug_path) as f:
-                for line in f:
-                    if line.strip():
-                        aug_annos.append(json.loads(line))
+            # explicit path — construct_instrs sniffs reference vs native shape
+            aug_annos = construct_instrs(
+                args.data_root, args.dataset, [args.aug_path],
+                tokenizer=args.tokenizer, is_test=args.test,
+            )
         dbs = dict(
             view_db=H5FeatureDB(os.path.join(args.data_root, "view_fts.hdf5")),
             grid_db=H5FeatureDB(os.path.join(args.data_root, "grid_fts.hdf5"),
@@ -139,8 +185,11 @@ def build_envs(cfg, args):
         image_feat_size=cfg.model.image_feat_size, seed=seed, name=name, **dbs,
     )
     aug_env = mk(aug_annos, "aug", args.seed + 2) if aug_annos else None
-    return (mk(train_annos, "train", args.seed),
-            mk(val_annos, "val_unseen", args.seed + 1), aug_env)
+    val_envs = {
+        name: mk(annos, name, args.seed + 1 + i)
+        for i, (name, annos) in enumerate(val_annos.items())
+    }
+    return mk(train_annos, "train", args.seed), val_envs, aug_env
 
 
 def _make_obj_envs(cfg, args, graphs, cands, dbs, train_annos, val_annos):
@@ -170,7 +219,7 @@ def _make_obj_envs(cfg, args, graphs, cands, dbs, train_annos, val_annos):
                 }
                 for i in ids:
                     obj2vps[f"{scan}_{i}"] = [vp]
-        for annos in (train_annos, val_annos):
+        for annos in (train_annos, *val_annos.values()):
             for a in annos:
                 scan, goal = a["scan"], a["path"][-1]
                 a["objId"] = obj_data[f"{scan}_{goal}"]["obj_ids"][0]
@@ -189,8 +238,11 @@ def _make_obj_envs(cfg, args, graphs, cands, dbs, train_annos, val_annos):
         max_objects=cfg.shapes.max_objects,
         multi_endpoints=(name == "train"), **dbs,
     )
-    return (mk(train_annos, "train", args.seed),
-            mk(val_annos, "val_unseen", args.seed + 1))
+    val_envs = {
+        name: mk(annos, name, args.seed + 1 + i)
+        for i, (name, annos) in enumerate(val_annos.items())
+    }
+    return mk(train_annos, "train", args.seed), val_envs
 
 
 def main(argv=None):
@@ -234,7 +286,7 @@ def main(argv=None):
     mesh = make_mesh() if n_dev > 1 else None
     cfg.batch_size = cfg.batch_size * n_dev
 
-    train_env, val_env, aug_env = build_envs(cfg, args)
+    train_env, val_envs, aug_env = build_envs(cfg, args)
     agent = GMapNavAgent(cfg, train_env, seed=cfg.seed, mesh=mesh)
 
     pretrained = None
@@ -249,11 +301,17 @@ def main(argv=None):
     os.makedirs(cfg.output_dir, exist_ok=True)
     logger = MetricLogger(cfg.output_dir)
 
-    def evaluate(tag, step):
+    def evaluate_split(tag, step):
+        val_env = val_envs[tag]
         agent.env = val_env
         preds = agent.test()
-        avg, _ = val_env.eval_metrics(preds)
-        logger.log(step, {f"{tag}/{k}": v for k, v in avg.items()})
+        if val_env.gt_trajs:
+            avg, _ = val_env.eval_metrics(preds)
+            logger.log(step, {f"{tag}/{k}": v for k, v in avg.items()})
+        else:
+            # leaderboard test splits carry no gt paths — submission dump
+            # only (ref main_nav.py:270-291 score_only on val splits)
+            avg = {}
         with open(os.path.join(cfg.output_dir, f"preds_{tag}_{step}.json"), "w") as f:
             # R2R leaderboard submission format: (viewpoint, heading,
             # elevation) triples (ref agent_base.py:37, main_nav.py:287-291);
@@ -274,13 +332,21 @@ def main(argv=None):
         agent.env = train_env
         return avg
 
+    # evaluate every built split each interval (ref main_nav.py:232-259 loops
+    # val_envs); best-ckpt selection stays on val_unseen (main_nav.py:216-231)
+    best_split = "val_unseen" if "val_unseen" in val_envs else next(iter(val_envs))
+
+    def evaluate_all(step):
+        per_split = {tag: evaluate_split(tag, step) for tag in val_envs}
+        return per_split[best_split]
+
     if args.test:
-        evaluate("val_unseen", 0)
+        evaluate_all(0)
         return
 
     best = {"score": -1.0}
     if args.eval_first:
-        evaluate("val_unseen", 0)
+        evaluate_all(0)
     log_every = cfg.log_every
     done = 0
     while done < cfg.iters:
@@ -298,8 +364,8 @@ def main(argv=None):
             agent.env = train_env
         done += n
         logger.log(done, {"train/IL_loss": float(sum(losses) / max(len(losses), 1))})
-        avg = evaluate("val_unseen", done)
-        score = avg["sr"] + avg["spl"]
+        avg = evaluate_all(done)
+        score = avg.get("sr", 0.0) + avg.get("spl", 0.0)
         if score > best["score"]:
             best = {"score": score, "step": done, **avg}
             _save_agent(agent, os.path.join(cfg.output_dir, "ckpt_best"))

@@ -29,6 +29,13 @@ def parse_args(argv=None):
     p.add_argument("--num_steps", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--tasks", default=None, help="e.g. mlm.5.sap.5.masksem.1")
+    p.add_argument("--train_files", default=None,
+                   help="comma-separated trajectory annotation files "
+                        "(jsonl/json), overriding the data_root layout — "
+                        "the reference's train_traj_files lists "
+                        "(config/*_pretrain.json)")
+    p.add_argument("--val_files", default=None,
+                   help="like --train_files for the validation split")
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=None,
@@ -47,6 +54,10 @@ def parse_task_ratio(spec: str):
         tasks.append(parts[i])
         ratios.append(float(parts[i + 1]))
     return tuple(tasks), tuple(ratios)
+
+
+def _split_files(spec):
+    return [s for s in spec.split(",") if s.strip()] if spec else None
 
 
 def build_synthetic_db(cfg, seed=0, tmpdir="/tmp/bevbert_synth"):
@@ -89,9 +100,10 @@ def build_synthetic_db(cfg, seed=0, tmpdir="/tmp/bevbert_synth"):
     )
 
 
-def build_real_db(cfg, data_root, dataset, split="train"):
+def build_real_db(cfg, data_root, dataset, split="train", traj_files=None):
     import json as _json
 
+    from ..data.annotations import read_annotation_file
     from ..data.feature_db import H5FeatureDB
     from ..data.nav_graph import build_scanvp_cands, load_nav_graphs
     from ..data.pathdata import TextPathData
@@ -104,12 +116,17 @@ def build_real_db(cfg, data_root, dataset, split="train"):
             cands = _json.load(f)
     else:
         cands = build_scanvp_cands(graphs)
+    # explicit traj-file lists mirror the reference's
+    # data_cfg.{train,val_*}_traj_files (train_r2r.py:164-193,
+    # config/*_pretrain.json), so published pretrain annotations are
+    # consumable unconverted; default falls back to the native layout
     annos = []
-    anno_path = os.path.join(data_root, f"{dataset}_{split}_enc.jsonl")
-    with open(anno_path) as f:
-        for line in f:
-            if line.strip():
-                annos.append(_json.loads(line))
+    if traj_files:
+        for path in traj_files:
+            annos += read_annotation_file(path)
+    else:
+        annos = read_annotation_file(
+            os.path.join(data_root, f"{dataset}_{split}_enc.jsonl"))
     return TextPathData(
         annos, graphs, cands,
         view_db=H5FeatureDB(os.path.join(data_root, "view_fts.hdf5")),
@@ -154,8 +171,10 @@ def main(argv=None):
         nav_db = build_synthetic_db(cfg, args.seed)
         val_db = nav_db
     else:
-        nav_db = build_real_db(cfg, args.data_root, args.dataset, "train")
-        val_db = build_real_db(cfg, args.data_root, args.dataset, "val_unseen")
+        nav_db = build_real_db(cfg, args.data_root, args.dataset, "train",
+                               traj_files=_split_files(args.train_files))
+        val_db = build_real_db(cfg, args.data_root, args.dataset, "val_unseen",
+                               traj_files=_split_files(args.val_files))
 
     import jax
 

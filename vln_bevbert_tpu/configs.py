@@ -128,6 +128,11 @@ class OptimConfig:
     num_train_steps: int = 100000
     lr_schedule: str = "linear"    # linear warmup + linear decay; or "noam"
     gradient_accumulation_steps: int = 1
+    mu_dtype: str = "bfloat16"     # AdamW first-moment storage dtype. The
+                                   # update is HBM-bandwidth-bound at B=16;
+                                   # bf16 m halves its read+write traffic
+                                   # (update math stays f32 — optax casts on
+                                   # store). "float32" restores exact parity.
 
 
 @dataclass

@@ -224,7 +224,11 @@ class GMapNavAgent:
         self.params = params
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.cfg.grad_norm),
-            optax.adamw(self.cfg.learning_rate, weight_decay=self.cfg.weight_decay),
+            # bf16 first moment: the replay update is HBM-bound like the
+            # pretrain one (see OptimConfig.mu_dtype)
+            optax.adamw(self.cfg.learning_rate,
+                        weight_decay=self.cfg.weight_decay,
+                        mu_dtype=jnp.bfloat16),
         )
         self.opt_state = self.tx.init(self.params)
         if self.mesh is not None:

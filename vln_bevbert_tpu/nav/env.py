@@ -141,9 +141,17 @@ class R2RNavBatch:
     def next_minibatch(self):
         batch = self.data[self.ix : self.ix + self.batch_size]
         if len(batch) < self.batch_size:
+            # wrap; loops as often as needed so datasets smaller than the
+            # global batch (tiny val splits x dp devices) still fill every
+            # simulator slot
             self.rng.shuffle(self.data)
-            self.ix = self.batch_size - len(batch)
-            batch = batch + self.data[: self.ix]
+            self.ix = 0
+            while len(batch) < self.batch_size:
+                take = min(self.batch_size - len(batch), len(self.data))
+                batch = batch + self.data[self.ix : self.ix + take]
+                self.ix = (self.ix + take) % max(len(self.data), 1)
+                if take == len(self.data):
+                    self.ix = 0
         else:
             self.ix += self.batch_size
         self.batch = batch

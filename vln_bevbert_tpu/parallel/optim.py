@@ -70,9 +70,12 @@ def make_optimizer(cfg: OptimConfig, params_for_mask=None,
         mask = _decay_mask(params_for_mask)
     base_name, _, wrapper = cfg.optim.partition("+")
     if base_name == "adamw":
+        import jax.numpy as jnp
+
         inner = optax.adamw(
             learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1],
             eps=1e-8, weight_decay=cfg.weight_decay, mask=mask,
+            mu_dtype=getattr(jnp, getattr(cfg, "mu_dtype", "float32")),
         )
     elif base_name == "radam":
         # vendored RAdam in the reference (optim/radam.py); decoupled decay

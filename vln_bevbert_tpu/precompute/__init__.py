@@ -4,6 +4,8 @@ from .pipeline import (
     RandomProjectionEncoder,
     SyntheticImageSource,
     build_feature_files,
+    dump_depth_features,
+    dump_raw_view_images,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "RandomProjectionEncoder",
     "ClipEncoder",
     "JaxClipEncoder",
+    "dump_raw_view_images",
+    "dump_depth_features",
 ]

@@ -55,6 +55,11 @@ class SyntheticImageSource:
                     "views36": rng.integers(
                         0, 255, (36, self.image_hw, self.image_hw, 3)
                     ).astype(np.uint8),
+                    # normalised [0, 1] depth per discretized view, the shape
+                    # the habitat depth sensor produces (save_habitat_img.py:88)
+                    "views36_depth": rng.uniform(
+                        0.0, 1.0, (36, self.image_hw, self.image_hw, 1)
+                    ).astype(np.float32),
                     "ring12": rng.integers(
                         0, 255, (self.num_views, self.image_hw, self.image_hw, 3)
                     ).astype(np.uint8),
@@ -236,3 +241,97 @@ def build_feature_files(source, encoder, out_dir: str,
         for f in files.values():
             f.close()
     return paths
+
+
+def dump_raw_view_images(source, out_file: str, img_type: str = "rgb",
+                         vfov: int = 60, progress_every: int = 50) -> str:
+    """The reference's save_habitat_img.py product: one dataset per
+    (scan, viewpoint) key holding the 36 discretized views —
+    ``(36, H, W, 3)`` uint8 **BGR** for rgb (save_habitat_img.py:86 reverses
+    the channel order before storing, :132) or ``(36, H, W, 1)`` float32
+    normalised depth (:88, :134) — gzip-compressed with image geometry attrs.
+
+    Sources provide ``views36`` (RGB) / ``views36_depth`` frames; a real
+    renderer binding yields the same keys.
+    """
+    import h5py
+
+    if img_type not in ("rgb", "depth"):
+        raise ValueError(f"img_type must be rgb|depth, got {img_type}")
+    os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+    frame_key = "views36" if img_type == "rgb" else "views36_depth"
+    with h5py.File(out_file, "w") as outf:
+        for n, (scan, vp, frames) in enumerate(source):
+            imgs = frames[frame_key]
+            if img_type == "rgb":
+                data = imgs[..., ::-1]  # RGB -> BGR, as stored by the ref
+                dset = outf.create_dataset(
+                    f"{scan}_{vp}", data=data, dtype="uint8",
+                    compression="gzip")
+            else:
+                dset = outf.create_dataset(
+                    f"{scan}_{vp}", data=imgs.astype(np.float32),
+                    dtype="float32", compression="gzip")
+            dset.attrs["scanId"] = scan
+            dset.attrs["viewpointId"] = vp
+            dset.attrs["image_w"] = imgs.shape[2]
+            dset.attrs["image_h"] = imgs.shape[1]
+            dset.attrs["vfov"] = vfov
+            if progress_every and (n + 1) % progress_every == 0:
+                print(f"raw {img_type} dump: {n + 1} viewpoints", flush=True)
+    return out_file
+
+
+def dump_depth_features(img_db: str, out_file: str, params=None,
+                        vfov: int = 60, dtype=None,
+                        progress_every: int = 50) -> str:
+    """The reference's save_depth_feature.py product: read a raw depth image
+    db (``dump_raw_view_images(img_type='depth')`` / save_habitat_img.py
+    layout), push every viewpoint's 36 views through the frozen DDPPO depth
+    tower, and store the spatially mean-pooled features —
+    ``torch.mean(x, (2,3))`` over the (36, 4, 4, 128) encoder output →
+    ``(36, 128)`` float32 (resnet_encoder.py:107, save_depth_feature.py:
+    48-133) — with scanId/viewpointId/image_w/image_h/vfov attrs.
+
+    TPU-native path: the 36 views ride the batch dimension of one jitted
+    static-shape program (vs the reference's per-GPU process fan-out);
+    ``params`` is a DdppoDepthEncoder tree, e.g. from ``load_ddppo_ckpt``
+    (random-initialised when omitted, for pipeline tests).
+    """
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.depth_encoder import DdppoDepthEncoder
+
+    enc = DdppoDepthEncoder()
+
+    @jax.jit
+    def encode(p, depth36):
+        x = enc.apply({"params": p}, depth36)      # (36, h, w, C)
+        return jnp.mean(x, axis=(1, 2))            # pooled, ref :107
+
+    os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+    with h5py.File(img_db, "r") as inf, h5py.File(out_file, "w") as outf:
+        keys = sorted(inf.keys())
+        for n, key in enumerate(keys):
+            depth = inf[key][...].astype(np.float32)
+            if depth.ndim == 3:
+                depth = depth[..., None]
+            if params is None:
+                params = enc.init(
+                    jax.random.PRNGKey(0), jnp.asarray(depth))["params"]
+            fts = np.asarray(encode(params, jnp.asarray(depth)),
+                             dtype=np.float32)
+            dset = outf.create_dataset(key, data=fts, dtype="float32",
+                                       compression="gzip")
+            src = inf[key]
+            dset.attrs["scanId"] = src.attrs.get("scanId", key.split("_")[0])
+            dset.attrs["viewpointId"] = src.attrs.get(
+                "viewpointId", key.split("_", 1)[-1])
+            dset.attrs["image_w"] = depth.shape[2]
+            dset.attrs["image_h"] = depth.shape[1]
+            dset.attrs["vfov"] = vfov
+            if progress_every and (n + 1) % progress_every == 0:
+                print(f"depth features: {n + 1}/{len(keys)}", flush=True)
+    return out_file
