@@ -53,7 +53,9 @@ V5E_BF16_PEAK = 197e12  # TPU v5e (v5 lite) bf16 peak per chip
 # measured for, the pin is stale and we force a re-measure (ADVICE r2).
 FLOPS_PER_SAMPLE_PINNED = 138.65e9  # 2026-08-17, mix-weighted
 # mlm:sap:masksem 5:5:1, B=16, fwd+bwd+AdamW, bf16 scores + bf16 adam-mu
-FLOPS_PINNED_FINGERPRINT = "e3af8712b388"
+# (fingerprint re-pinned for the new OptimConfig nu_dtype/state_sr/grad_dtype
+# fields at their f32-equivalent defaults — identical program, same FLOPs)
+FLOPS_PINNED_FINGERPRINT = "d67e4e1276c3"
 
 
 def _config_fingerprint(cfg) -> str:
@@ -107,12 +109,14 @@ def _measure_pretrain() -> dict:
     rng = np.random.default_rng(0)
     batch = synthetic_pretrain_batch(rng, B, cfg.shapes, cfg.model, raw_bev=True)
     model, projector, state = init_pretrain_state(cfg, batch)
-    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
-    # BENCH_UNROLL=5 measures the production config: +8.5% (447 vs 412
-    # samples/s, fewer scan carry copies) — but its ~5x bigger executables
-    # take minutes each to ship through the tunnelled dev backend even with
-    # a warm compile cache, blowing the bench wall-time budget, so the
-    # default stays 1 here. On a PCIe-local TPU VM, use 5.
+    # Production default is unroll=5 (+8.5%: 447 vs 412 samples/s, fewer
+    # scan carry copies) — but its ~5x bigger executables take minutes each
+    # to SHIP through a tunnelled dev backend (platform "axon") even with a
+    # warm compile cache, blowing the bench wall-time budget there. Key the
+    # default on the backend: PCIe-local TPU gets the production config.
+    unroll_default = "5" if jax.default_backend() == "tpu" else "1"
+    unroll = int(os.environ.get("BENCH_UNROLL", unroll_default))
+    _log(f"backend {jax.default_backend()} -> unroll {unroll}")
     block = make_pretrain_block_step(model, projector, None, unroll=unroll)
 
     batch = {k: jax.device_put(v) for k, v in batch.items()}

@@ -1,0 +1,118 @@
+"""Optimizer factory tests: low-precision Adam moments and parity.
+
+The reference trains with AdamW (pretrain_src/optim/misc.py:12-37); here the
+moment STORAGE precision is configurable (OptimConfig.mu_dtype/nu_dtype) to
+cut the bandwidth-bound optimizer pass. These tests pin: (a) float32
+scale_by_adam_lp == optax.scale_by_adam bit-for-bit, (b) stochastic rounding
+is unbiased, (c) bf16-state AdamW converges like f32 on a quadratic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vln_bevbert_tpu.configs import OptimConfig
+from vln_bevbert_tpu.parallel.optim import (
+    _stochastic_round,
+    make_optimizer,
+    scale_by_adam_lp,
+)
+
+
+def _tree(seed=0):
+    k = jax.random.key(seed)
+    return {
+        "w": jax.random.normal(jax.random.fold_in(k, 0), (8, 16)),
+        "b": jax.random.normal(jax.random.fold_in(k, 1), (16,)),
+    }
+
+
+def test_adam_lp_fp32_matches_optax():
+    params = _tree(0)
+    tx_ref = optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-8)
+    tx_lp = scale_by_adam_lp(b1=0.9, b2=0.98, eps=1e-8)
+    s_ref, s_lp = tx_ref.init(params), tx_lp.init(params)
+    for i in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.sin(p * (i + 1)), params
+        )
+        u_ref, s_ref = tx_ref.update(grads, s_ref)
+        u_lp, s_lp = tx_lp.update(grads, s_lp)
+        for a, b in zip(jax.tree_util.tree_leaves(u_ref),
+                        jax.tree_util.tree_leaves(u_lp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_stochastic_round_unbiased_and_exact_on_representable():
+    # representable bf16 values round exactly
+    x = jnp.array([1.0, -2.5, 0.0, 3.140625], jnp.float32)
+    bits = jnp.array([0xABCD, 0x1234, 0xFFFF, 0x8000], jnp.uint32)
+    out = _stochastic_round(x, bits, jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out, np.float32), np.asarray(x))
+
+    # a value a quarter of the way into the bf16 gap above 1.0 (gap = 2^-7)
+    # must round up with p ~= 0.25
+    lo = jnp.float32(1.0)
+    x = lo + 0.25 * (2.0 ** -7)
+    key = jax.random.key(7)
+    bits = jax.random.bits(key, (20000,), jnp.uint32)
+    out = _stochastic_round(jnp.full((20000,), x), bits, jnp.bfloat16)
+    frac_up = float(jnp.mean((out.astype(jnp.float32) > lo)))
+    assert abs(frac_up - 0.25) < 0.02
+    # non-finite passthrough
+    out = _stochastic_round(jnp.array([jnp.inf, -jnp.inf, jnp.nan]),
+                            jnp.full((3,), 0xFFFF, jnp.uint32), jnp.bfloat16)
+    assert np.isinf(np.asarray(out)[0]) and np.isnan(np.asarray(out)[2])
+
+
+@pytest.mark.parametrize("sr", [True, False])
+def test_bf16_state_adamw_converges_like_fp32(sr):
+    def loss_fn(p):
+        return jnp.sum((p["w"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    def run(nu_dtype, state_sr):
+        cfg = OptimConfig(
+            learning_rate=0.05, warmup_steps=0, num_train_steps=400,
+            weight_decay=0.0, grad_norm=100.0,
+            mu_dtype="bfloat16", nu_dtype=nu_dtype, state_sr=state_sr,
+        )
+        params = _tree(1)
+        tx = make_optimizer(cfg, params_for_mask=params)
+        st = tx.init(params)
+
+        @jax.jit
+        def step(params, st):
+            g = jax.grad(loss_fn)(params)
+            up, st = tx.update(g, st, params)
+            return optax.apply_updates(params, up), st
+
+        for _ in range(300):
+            params, st = step(params, st)
+        return float(loss_fn(params))
+
+    f32 = run("float32", False)
+    bf16 = run("bfloat16", sr)
+    # both reach near-zero on the quadratic; bf16 state must not stall
+    assert bf16 < max(10.0 * f32, 1e-2), (f32, bf16)
+
+
+def test_make_optimizer_nu_dtype_state_leaves():
+    params = _tree(2)
+    cfg = OptimConfig(mu_dtype="bfloat16", nu_dtype="bfloat16")
+    tx = make_optimizer(cfg, params_for_mask=params)
+    st = tx.init(params)
+    # find the ScaleByAdamLPState moment leaves anywhere in the chain state
+    flat = jax.tree_util.tree_flatten_with_path(st)[0]
+    mu_dts = {str(v.dtype) for p, v in flat if any("mu" in str(k) for k in p)}
+    nu_dts = {str(v.dtype) for p, v in flat if any("'nu'" in str(k) or ".nu" in str(k) for k in p)}
+    assert "bfloat16" in mu_dts
+    assert "bfloat16" in nu_dts
+    # one update step executes and keeps dtypes
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    up, st2 = tx.update(g, st, params)
+    flat2 = jax.tree_util.tree_flatten_with_path(st2)[0]
+    nu_dts2 = {str(v.dtype) for p, v in flat2 if any("'nu'" in str(k) or ".nu" in str(k) for k in p)}
+    assert "bfloat16" in nu_dts2

@@ -38,6 +38,7 @@ import numpy as np
 import optax
 from flax import linen as nn
 
+from ..ops.dropout import Dropout
 from ..configs import FinetuneConfig, ModelConfig
 from ..geometry import angle_features
 from ..models.bert import dense, layer_norm
@@ -59,7 +60,7 @@ class PrevalentPolicy(nn.Module):
         # VisionEncoder role (vlnbert_PREVALENT.py:345-359)
         self.visn_fc = dense(self.cfg, self.cfg.hidden_size, name="visn_fc")
         self.visn_ln = layer_norm(self.cfg, name="visn_ln")
-        self.visn_dropout = nn.Dropout(self.cfg.hidden_dropout_prob)
+        self.visn_dropout = Dropout(self.cfg.hidden_dropout_prob)
 
     def embed_candidates(self, cand_rgb, cand_depth, cand_dir, *,
                          deterministic=True):

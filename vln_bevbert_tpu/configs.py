@@ -133,6 +133,21 @@ class OptimConfig:
                                    # bf16 m halves its read+write traffic
                                    # (update math stays f32 — optax casts on
                                    # store). "float32" restores exact parity.
+    nu_dtype: str = "float32"      # Second-moment storage dtype. bf16 cuts
+                                   # another 6 bytes/param/step; with the
+                                   # reference b2=0.98 the per-step increment
+                                   # (~2% of nu) sits ~5x above bf16
+                                   # resolution, and state_sr removes the
+                                   # residual rounding bias (optim.py:
+                                   # scale_by_adam_lp).
+    state_sr: bool = True          # stochastic rounding on low-precision
+                                   # moment stores (ignored at float32)
+    grad_dtype: str = "float32"    # dtype the loss is differentiated in:
+                                   # "bfloat16" makes the backward pass emit
+                                   # bf16 grads (halving grad write + norm
+                                   # read + optimizer read + DP psum bytes);
+                                   # Adam math still runs f32 per-step
+
 
 
 @dataclass

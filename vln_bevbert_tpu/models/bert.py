@@ -21,6 +21,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dropout import Dropout
 from ..configs import ModelConfig
 
 
@@ -91,7 +92,7 @@ class Attention(nn.Module):
         if bias is not None:
             scores = scores + bias.astype(_dt(cfg))
         probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(_dt(cfg))
-        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+        probs = Dropout(cfg.attention_probs_dropout_prob)(
             probs, deterministic=deterministic
         )
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
@@ -110,7 +111,7 @@ class AttentionBlock(nn.Module):
         cfg = self.cfg
         ctx = Attention(cfg, name="att")(q_in, kv_in, bias, deterministic=deterministic)
         out = dense(cfg, cfg.hidden_size, name="out_dense")(ctx)
-        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         out = layer_norm(cfg, name="out_ln")(out + q_in).astype(_dt(cfg))
         return out
 
@@ -127,7 +128,7 @@ class Ffn(nn.Module):
         y = dense(cfg, cfg.intermediate_size, name="inter")(x)
         y = nn.gelu(y, approximate=False)
         y = dense(cfg, cfg.hidden_size, name="out_dense")(y)
-        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        y = Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
         return layer_norm(cfg, name="out_ln")(y + x).astype(_dt(cfg))
 
 
@@ -196,7 +197,7 @@ class BertEmbeddings(nn.Module):
             cfg, cfg.type_vocab_size, name="token_type_embeddings"
         )
         self.ln = layer_norm(cfg, name="ln")
-        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.dropout = Dropout(cfg.hidden_dropout_prob)
 
     def __call__(self, input_ids, token_type_ids=None, *, deterministic: bool = True):
         seq = input_ids.shape[-1]
@@ -222,14 +223,14 @@ class PanoEncoderLayer(nn.Module):
         y = layer_norm(cfg, name="ln1")(x).astype(_dt(cfg))
         y = Attention(cfg, name="att")(y, y, bias, deterministic=deterministic)
         y = dense(cfg, cfg.hidden_size, name="att_out")(y)
-        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        y = Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
         x = x + y
         y = layer_norm(cfg, name="ln2")(x).astype(_dt(cfg))
         y = dense(cfg, cfg.intermediate_size, name="inter")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        y = Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
         y = dense(cfg, cfg.hidden_size, name="out_dense")(y)
-        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        y = Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
         return x + y
 
 

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dropout import Dropout
 from ..configs import ModelConfig
 from ..ops.masking import attn_bias
 from .bert import (
@@ -82,7 +83,7 @@ class ImageEmbeddings(nn.Module):
         else:
             self.dep_linear = None
         self.ln = layer_norm(cfg, name="ln")
-        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.dropout = Dropout(cfg.hidden_dropout_prob)
         self.pano_layers = [
             PanoEncoderLayer(cfg, name=f"pano_layer_{i}")
             for i in range(cfg.num_pano_layers)

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dropout import Dropout
 from ..configs import ModelConfig
 from ..ops.masking import attn_bias, masked_fill_neg
 from .bert import BertEmbeddings, MlmHead, TwoLayerHead, _dt
@@ -271,7 +272,7 @@ class GlocalTextPathCMTPreTraining(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.bert = GlocalTextPathCMT(cfg, name="bert")
-        self.feat_dropout = nn.Dropout(cfg.feat_dropout)
+        self.feat_dropout = Dropout(cfg.feat_dropout)
         if "mlm" in self.tasks:
             self.mlm_head = MlmHead(cfg, name="mlm_head")
         if "mrc" in self.tasks:

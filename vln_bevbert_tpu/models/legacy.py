@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.dropout import Dropout
 from ..configs import ModelConfig
 from .bert import BertEmbeddings, BertLayer, _dt, dense, layer_norm
 
@@ -58,7 +59,7 @@ class ScoredAttention(nn.Module):
         if bias is not None:
             scores = scores + bias.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1).astype(_dt(cfg))
-        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+        probs = Dropout(cfg.attention_probs_dropout_prob)(
             probs, deterministic=deterministic
         )
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
@@ -78,7 +79,7 @@ class ScoredAttentionBlock(nn.Module):
             q_in, kv_in, bias, deterministic=deterministic
         )
         out = dense(cfg, cfg.hidden_size, name="out_dense")(ctx)
-        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         out = layer_norm(cfg, name="out_ln")(out + q_in).astype(_dt(cfg))
         return out, scores
 
@@ -110,7 +111,7 @@ class PrevalentXLayer(nn.Module):
         y = dense(cfg, cfg.intermediate_size, name="inter")(x)
         y = nn.gelu(y, approximate=False)
         y = dense(cfg, cfg.hidden_size, name="out_dense")(y)
-        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        y = Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
         x = layer_norm(cfg, name="out_ln")(y + x).astype(_dt(cfg))
 
         new_lang = jnp.concatenate([x[:, :1], lang[:, 1:]], axis=1)

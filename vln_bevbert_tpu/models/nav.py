@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dropout import Dropout
 from ..configs import ModelConfig
 from ..ops.masking import masked_fill_neg
 from .bert import TwoLayerHead, _dt
@@ -41,9 +42,9 @@ class Critic(nn.Module):
     def __call__(self, state, *, deterministic: bool = True):
         from .bert import dense
 
-        x = nn.Dropout(self.dropout)(state, deterministic=deterministic)
+        x = Dropout(self.dropout)(state, deterministic=deterministic)
         x = nn.relu(dense(self.cfg, 512, name="fc1")(x))
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = Dropout(self.dropout)(x, deterministic=deterministic)
         return dense(self.cfg, 1, name="fc2")(x)[..., 0]
 
 

@@ -1,0 +1,201 @@
+"""Fused TPU dropout: in-kernel PRNG, seed-only residuals.
+
+XLA lowers ``nn.Dropout`` to RngBitGenerator -> convert -> compare -> select.
+The bits tensor (4 bytes/element) round-trips HBM between the RBG op and the
+select, and the keep-mask is saved for the backward pass — together ~60% of
+dropout's cost. At the flagship pretrain scale dropout touches ~3e8 elements
+per step across ~40 sites (attention probs on the 441-token BEV branch
+dominate) and costs 7.96 ms of a 47.3 ms step (measured, v5e,
+benchmarks/ablate_step.py full vs no_dropout).
+
+This kernel regenerates mask bits *inside* VMEM with the TPU's native PRNG
+(pltpu.prng_random_bits), so the only HBM traffic is read-x/write-y — and
+the backward pass re-seeds the same PRNG instead of loading a saved mask, so
+the residual is one uint32 seed per example.
+
+Semantics: keep element iff bits >= round(rate * 2^32)  (P(keep) = 1 - rate,
+exact to 2^-32); kept elements scale by 1/(1-rate) — identical in
+distribution to nn.Dropout, different mask stream (the reference's torch
+dropout stream is different again; mask streams are not part of parity).
+
+Sharding: the kernel is row-independent with per-example seeds, exposed
+through jax.experimental.custom_partitioning so a batch-sharded input under
+a dp mesh runs shard-local (GSPMD would otherwise all-gather the operand of
+an opaque custom call).
+
+Non-TPU backends (CPU tests, virtual-device dry runs) fall back to the plain
+jax.random path with identical *distributional* semantics.
+
+Reference dropout sites: attention probs vilmodel.py:135, hidden/FFN
+vilmodel.py:164-193, embeddings vilmodel.py:58-76 (all
+/root/reference/pretrain_src/model/).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-block VMEM budget for (x, y, bits) — conservative vs the ~16MB/core
+_BLOCK_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _on_tpu() -> bool:
+    # VLN_BEVBERT_FUSED_DROPOUT=0 forces the jax.random fallback even on TPU
+    # (escape hatch for bench/driver runs if a backend rejects the kernel)
+    if os.environ.get("VLN_BEVBERT_FUSED_DROPOUT", "1") == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _grid_split(shape: Sequence[int], itemsize: int):
+    """Split ``shape`` into (grid_dims, block_shape): fold leading axes into
+    the grid until one block's x + y + uint32-bits footprint fits VMEM."""
+    ndim = len(shape)
+    grid = 1  # always grid over the leading (batch) axis for per-row seeds
+    while grid < ndim - 1:
+        rest = 1
+        for s in shape[grid:]:
+            rest *= s
+        if rest * (2 * itemsize + 4) <= _BLOCK_BUDGET_BYTES:
+            break
+        grid += 1
+    return shape[:grid], shape[grid:]
+
+
+def _make_kernel(n_grid: int, thresh: int, scale: float):
+    def kernel(seed_ref, x_ref, o_ref):
+        # one seed per leading-axis row; fold the remaining grid coordinates
+        # so every block draws an independent, reproducible stream
+        extra = [pl.program_id(d) for d in range(1, n_grid)]
+        pltpu.prng_seed(seed_ref[0], *extra)
+        bits = pltpu.prng_random_bits(x_ref.shape)
+        keep = bits >= jnp.uint32(thresh)
+        x = x_ref[...]
+        o_ref[...] = jnp.where(keep, x * jnp.asarray(scale, x.dtype),
+                               jnp.zeros_like(x))
+
+    return kernel
+
+
+def _pallas_apply(x: jax.Array, seeds: jax.Array, rate: float) -> jax.Array:
+    thresh = min(int(round(rate * 2 ** 32)), 2 ** 32 - 1)
+    scale = 1.0 / (1.0 - rate)
+    grid_dims, block_shape = _grid_split(x.shape, x.dtype.itemsize)
+    n_grid = len(grid_dims)
+    block = (1,) * n_grid + tuple(block_shape)
+
+    def idx(*ids):
+        return ids[:n_grid] + (0,) * len(block_shape)
+
+    kernel = _make_kernel(n_grid, thresh, scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=tuple(grid_dims),
+        in_specs=[
+            pl.BlockSpec((1,), lambda *ids: (ids[0],),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=x.size, bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(seeds, x)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_apply(rate: float):
+    """Batch-dim-partitionable wrapper: the kernel is row-independent (one
+    seed per example), so a dp-sharded input runs shard-local."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def apply(x, seeds):
+        return _pallas_apply(x, seeds, rate)
+
+    def _shardings(mesh, arg_infos):
+        x_sharding = arg_infos[0].sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = getattr(x_sharding, "spec", None)
+        batch = spec[0] if spec is not None and len(spec) else None
+        return x_sharding, NamedSharding(mesh, P(batch))
+
+    def infer(mesh, arg_infos, result_infos):
+        return arg_infos[0].sharding
+
+    def partition(mesh, arg_infos, result_infos):
+        x_sharding, seeds_sharding = _shardings(mesh, arg_infos)
+
+        def impl(x, seeds):
+            return _pallas_apply(x, seeds, rate)
+
+        return mesh, impl, x_sharding, (x_sharding, seeds_sharding)
+
+    apply.def_partition(
+        infer_sharding_from_operands=infer, partition=partition
+    )
+    return apply
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dropout_sr(x, seeds, rate: float):
+    return _partitioned_apply(rate)(x, seeds)
+
+
+def _dropout_sr_fwd(x, seeds, rate: float):
+    return _partitioned_apply(rate)(x, seeds), seeds
+
+
+def _dropout_sr_bwd(rate: float, seeds, dy):
+    # same seeds -> identical regenerated mask; dx = mask * dy / keep
+    return _partitioned_apply(rate)(dy, seeds), None
+
+
+_dropout_sr.defvjp(_dropout_sr_fwd, _dropout_sr_bwd)
+
+
+def fused_dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+    """Apply dropout with the fused TPU kernel (jax.random fallback off-TPU).
+
+    ``rng`` is a standard JAX PRNG key (unique per site/step, as handed out
+    by flax's make_rng); per-example seeds derive from it with the normal
+    partitionable RNG, so results are sharding-invariant given the key.
+    """
+    if rate <= 0.0:
+        return x
+    if not _on_tpu() or x.ndim < 2:
+        keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+        return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+    seeds = jax.random.bits(rng, (x.shape[0],), jnp.uint32)
+    return _dropout_sr(x, seeds, float(rate))
+
+
+import flax.linen as nn  # noqa: E402  (kept after the kernel machinery)
+
+
+class Dropout(nn.Module):
+    """Drop-in replacement for nn.Dropout using the fused TPU kernel.
+
+    Same constructor/call surface as the nn.Dropout subset this codebase
+    uses (positional rate, ``deterministic`` kwarg, "dropout" rng
+    collection); parameter-free, so checkpoints are unaffected.
+    """
+
+    rate: float
+    rng_collection: str = "dropout"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        return fused_dropout(x, self.rate, self.make_rng(self.rng_collection))

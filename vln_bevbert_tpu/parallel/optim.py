@@ -10,7 +10,7 @@ RAdam / Lookahead variants map onto optax.radam / optax.lookahead.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import optax
 
@@ -59,6 +59,119 @@ def _decay_mask(params):
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
+class ScaleByAdamLPState(NamedTuple):
+    count: "jax.Array"  # noqa: F821 — annotation only
+    key: "jax.Array"    # RAW rbg key data (uint32) for stochastic-rounding
+    #                     bits — raw so the opt state stays a plain-dtype
+    #                     pytree (orbax checkpoints and NamedSharding
+    #                     replication both choke on extended key dtypes)
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def _stochastic_round(x, bits, dtype):
+    """Round f32 ``x`` to bf16 stochastically using uint32 ``bits``.
+
+    Adds uniform random bits below the bf16 mantissa cut and truncates —
+    carry propagation into the exponent is exactly round-up, so the result
+    is unbiased: E[sr(x)] == x. Non-finite values pass through untouched.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    assert dtype == jnp.bfloat16, "stochastic rounding implemented for bf16"
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    xi = (xi + (bits & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    rounded = jax.lax.bitcast_convert_type(xi, jnp.float32)
+    return jnp.where(jnp.isfinite(x), rounded, x).astype(dtype)
+
+
+def scale_by_adam_lp(
+    b1: float, b2: float, eps: float,
+    mu_dtype=None, nu_dtype=None, stochastic_round: bool = True,
+) -> optax.GradientTransformation:
+    """Adam moment tracking with independently low-precision moment STORAGE.
+
+    The AdamW update at the flagship scale (239M params, batch 16/chip) is
+    HBM-bandwidth-bound: each step streams grads + params + both moments in
+    and params + both moments out. optax.adamw only narrows mu; this
+    transform narrows nu as well (update math stays f32 — moments are
+    upcast, updated, then rounded on store). With the reference betas
+    (b2=0.98) the per-step nu increment is ~2% of its magnitude, a factor
+    ~5 above bf16 resolution (2^-8), so round-to-nearest already tracks;
+    ``stochastic_round`` removes the residual small-update bias outright
+    using near-free RngBitGenerator bits (see utils/rng.py). Parity with
+    optax.scale_by_adam at (mu|nu)_dtype=float32 is pinned in
+    tests/test_train_step.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def _cast(x, dtype, key, idx):
+        if dtype is None or x.dtype == dtype:
+            return x
+        if stochastic_round and dtype == jnp.bfloat16:
+            bits = jax.random.bits(
+                jax.random.fold_in(key, idx), x.shape, jnp.uint32
+            )
+            return _stochastic_round(x, bits, dtype)
+        return x.astype(dtype)
+
+    def _cast_tree(tree, dtype, key):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        out = [_cast(x, dtype, key, i) for i, x in enumerate(leaves)]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init_fn(params):
+        from ..utils.rng import train_key
+
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params
+        )
+        return ScaleByAdamLPState(
+            count=jnp.zeros([], jnp.int32),
+            key=jax.random.key_data(train_key(0x5EED)),
+            mu=mu, nu=nu,
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        # moment math ALWAYS in f32: grads may arrive bf16 (grad_dtype) and
+        # moments may be stored bf16; the upcasts fuse into the update loop,
+        # costing registers, not HBM traffic
+        mu_f = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32),
+            updates, state.mu,
+        )
+        nu_f = jax.tree_util.tree_map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates, state.nu,
+        )
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        new_updates = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu_f, nu_f
+        )
+        key = jax.random.fold_in(
+            jax.random.wrap_key_data(state.key, impl="rbg"), count
+        )
+        # decorrelate mu/nu rounding noise with disjoint leaf indices
+        n = len(jax.tree_util.tree_leaves(updates))
+        mu = _cast_tree(mu_f, mu_dtype, key)
+        nu = _cast_tree(nu_f, nu_dtype, jax.random.fold_in(key, n))
+        return new_updates, ScaleByAdamLPState(
+            count=count, key=state.key, mu=mu, nu=nu
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: OptimConfig, params_for_mask=None,
                    include_clip: bool = True) -> optax.GradientTransformation:
     """``include_clip=False`` omits the global-norm clip from the chain for
@@ -72,11 +185,27 @@ def make_optimizer(cfg: OptimConfig, params_for_mask=None,
     if base_name == "adamw":
         import jax.numpy as jnp
 
-        inner = optax.adamw(
-            learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1],
-            eps=1e-8, weight_decay=cfg.weight_decay, mask=mask,
-            mu_dtype=getattr(jnp, getattr(cfg, "mu_dtype", "float32")),
-        )
+        mu_dtype = jnp.dtype(getattr(cfg, "mu_dtype", "float32"))
+        nu_dtype = jnp.dtype(getattr(cfg, "nu_dtype", "float32"))
+        bf16_grads = jnp.dtype(getattr(cfg, "grad_dtype", "float32")) != jnp.float32
+        if nu_dtype == jnp.float32 and not bf16_grads:
+            inner = optax.adamw(
+                learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1],
+                eps=1e-8, weight_decay=cfg.weight_decay, mask=mask,
+                mu_dtype=mu_dtype,
+            )
+        else:
+            # low-precision nu: optax.adamw cannot narrow the second moment;
+            # assemble the same chain around scale_by_adam_lp
+            inner = optax.chain(
+                scale_by_adam_lp(
+                    b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8,
+                    mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+                    stochastic_round=getattr(cfg, "state_sr", True),
+                ),
+                optax.add_decayed_weights(cfg.weight_decay, mask=mask),
+                optax.scale_by_learning_rate(sched),
+            )
     elif base_name == "radam":
         # vendored RAdam in the reference (optim/radam.py); decoupled decay
         inner = optax.chain(

@@ -32,14 +32,35 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     clip_norm: Optional[float] = struct.field(pytree_node=False, default=None)
+    # differentiate wrt a params tree cast to this dtype (None = params as
+    # stored): "bfloat16" halves the grad write + norm read + optimizer read
+    # traffic of the bandwidth-bound update, and would halve the DP psum
+    # bytes over ICI; update math stays f32 (optim.py:scale_by_adam_lp)
+    grad_dtype: Optional[str] = struct.field(pytree_node=False, default=None)
+
+    def cast_for_grad(self, params=None):
+        """Params tree to differentiate against (see ``grad_dtype``)."""
+        params = self.params if params is None else params
+        if self.grad_dtype is None:
+            return params
+        dt = jnp.dtype(self.grad_dtype)
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
+        )
 
     def apply_gradients(self, grads):
         """Optimiser update; with ``clip_norm`` set, clips by global norm in
         the step body so ONE norm pass over the grads serves both the clip
         and the grad_norm metric (returned second) — the reference computes
         clip_grad_norm_'s return for logging the same way
-        (train_r2r.py:296-303)."""
-        gnorm = optax.global_norm(grads)
+        (train_r2r.py:296-303). The norm accumulates in f32 regardless of
+        grad dtype (a bf16 sum over 239M squares would lose the tail)."""
+        gnorm = jnp.sqrt(
+            sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)
+            )
+        )
         if self.clip_norm is not None:
             # optax.clip_by_global_norm semantics: g * clip / max(norm, clip)
             scale = self.clip_norm / jnp.maximum(gnorm, self.clip_norm)
@@ -118,7 +139,7 @@ def make_pretrain_step(
     def step(state: TrainState, batch: Batch, rng, task: str):
         rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, task, rng
+            state.cast_for_grad(), batch, task, rng
         )
         new_state, gnorm = state.apply_gradients(grads)
         metrics = dict(metrics)
@@ -170,7 +191,7 @@ def make_pretrain_block_step(
             r = jax.random.fold_in(rng, state.step)
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, b, task, r)
+            )(state.cast_for_grad(), b, task, r)
             new_state, gnorm = state.apply_gradients(grads)
             metrics = dict(metrics)
             metrics["loss"] = loss
@@ -271,11 +292,13 @@ def init_pretrain_state(
     variables = init_fn(jax.random.key(seed), init_batch)
     params = variables["params"]
     tx = make_optimizer(cfg.optim, params_for_mask=params, include_clip=False)
+    gdt = getattr(cfg.optim, "grad_dtype", "float32")
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         tx=tx,
         clip_norm=float(cfg.optim.grad_norm),
+        grad_dtype=None if gdt == "float32" else gdt,
     )
     return model, projector, state
