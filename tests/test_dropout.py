@@ -1,0 +1,75 @@
+"""Fused-dropout component tests (CPU: exercises the jax.random fallback and
+the module contract; the pallas kernel itself is TPU-only and verified on
+hardware — see ops/dropout.py docstring for the semantics both paths share).
+
+Reference dropout sites: attention probs vilmodel.py:135, hidden/FFN
+vilmodel.py:164-193 (/root/reference/pretrain_src/model/).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vln_bevbert_tpu.ops.dropout import Dropout, _grid_split, fused_dropout
+
+
+def test_keep_fraction_and_scale():
+    x = jnp.ones((64, 1024))
+    y = np.asarray(fused_dropout(x, 0.3, jax.random.key(0)))
+    kept = y != 0
+    assert abs(kept.mean() - 0.7) < 0.02
+    np.testing.assert_allclose(y[kept], 1.0 / 0.7, rtol=1e-6)
+
+
+def test_rate_zero_identity_and_grad_mask():
+    x = jnp.arange(12.0).reshape(3, 4)
+    assert fused_dropout(x, 0.0, jax.random.key(1)) is x
+
+    def f(x):
+        return jnp.sum(fused_dropout(x, 0.5, jax.random.key(2)) ** 2)
+
+    x = jnp.ones((16, 256))
+    dx = np.asarray(jax.grad(f)(x))
+    y = np.asarray(fused_dropout(x, 0.5, jax.random.key(2)))
+    # gradient flows exactly through the kept elements
+    np.testing.assert_array_equal(dx != 0, y != 0)
+
+
+def test_module_contract():
+    import flax.linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, deterministic=True):
+            return Dropout(0.4)(x, deterministic=deterministic)
+
+    net = Net()
+    x = jnp.ones((8, 128))
+    # deterministic: identity, no rng needed
+    y = net.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    # stochastic: needs the "dropout" rng collection, reproducible per key
+    y1 = net.apply({}, x, deterministic=False,
+                   rngs={"dropout": jax.random.key(3)})
+    y2 = net.apply({}, x, deterministic=False,
+                   rngs={"dropout": jax.random.key(3)})
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    y3 = net.apply({}, x, deterministic=False,
+                   rngs={"dropout": jax.random.key(4)})
+    assert (np.asarray(y1) != np.asarray(y3)).any()
+    with pytest.raises(Exception):
+        net.apply({}, x, deterministic=False)  # missing rng fails loudly
+
+
+def test_grid_split_fits_budget():
+    # attention-probs shape at the flagship scale, bf16
+    grid, block = _grid_split((16, 12, 441, 441), 2)
+    n = 1
+    for s in block:
+        n *= s
+    assert n * (2 * 2 + 4) <= 6 * 1024 * 1024
+    assert grid and grid[0] == 16
+    # small tensors stay whole-row
+    grid, block = _grid_split((16, 768), 4)
+    assert grid == (16,) and block == (768,)
