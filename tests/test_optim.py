@@ -116,3 +116,36 @@ def test_make_optimizer_nu_dtype_state_leaves():
     flat2 = jax.tree_util.tree_flatten_with_path(st2)[0]
     nu_dts2 = {str(v.dtype) for p, v in flat2 if any("'nu'" in str(k) or ".nu" in str(k) for k in p)}
     assert "bfloat16" in nu_dts2
+
+
+def test_lp_opt_state_orbax_roundtrip(tmp_path):
+    """ScaleByAdamLPState keeps its rng key as RAW uint32 data precisely so
+    orbax can serialize it; pin the save/restore cycle (the trainer
+    checkpoints opt_state through StandardCheckpointer, pretrain/trainer.py)."""
+    import orbax.checkpoint as ocp
+
+    params = _tree(3)
+    cfg = OptimConfig(mu_dtype="bfloat16", nu_dtype="bfloat16", state_sr=True)
+    tx = make_optimizer(cfg, params_for_mask=params)
+    st = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, st = tx.update(g, st, params)
+
+    path = str(tmp_path / "ckpt")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"opt_state": st})
+        restored = ckptr.restore(path, {"opt_state": st})["opt_state"]
+
+    ref = jax.tree_util.tree_leaves(st)
+    got = jax.tree_util.tree_leaves(restored)
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)
+        )
+    # the restored state must keep stepping (raw key data still re-wraps
+    # into an rbg key inside update_fn)
+    up2, st2 = tx.update(g, restored, params)
+    assert all(np.isfinite(np.asarray(x, np.float32)).all()
+               for x in jax.tree_util.tree_leaves(up2))
