@@ -55,7 +55,7 @@ FLOPS_PER_SAMPLE_PINNED = 138.65e9  # 2026-08-17, mix-weighted
 # mlm:sap:masksem 5:5:1, B=16, fwd+bwd+AdamW, bf16 scores + bf16 adam-mu
 # (fingerprint re-pinned for the new OptimConfig nu_dtype/state_sr/grad_dtype
 # fields at their f32-equivalent defaults — identical program, same FLOPs)
-FLOPS_PINNED_FINGERPRINT = "d67e4e1276c3"
+FLOPS_PINNED_FINGERPRINT = "40ccaa6954a6"
 
 
 def _config_fingerprint(cfg) -> str:

@@ -148,8 +148,7 @@ def test_recollection_spill_to_disk(nav_world, tmp_path):  # noqa: F811
     n = store.collect(3)
     assert n == 3
     # overflow evicted down to capacity, entries are paths on disk
-    assert len(store.bundles) == 2
-    assert all(isinstance(b, str) for b in store.bundles)
+    assert len(store) == 2
     import os
 
     assert len([f for f in os.listdir(spill) if f.endswith(".npz")]) == 2
@@ -157,6 +156,6 @@ def test_recollection_spill_to_disk(nav_world, tmp_path):  # noqa: F811
     assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
     # a fresh store over the same spill_dir resumes from disk
     store2 = TeacherRecollectionStore(agent, capacity=2, spill_dir=spill)
-    assert len(store2.bundles) == 2
+    assert len(store2) == 2
     # beta-mixed collection path (dagger-style) also works
     assert store2.collect(1, beta=0.5) == 1

@@ -40,9 +40,11 @@ from flax import linen as nn
 
 from ..ops.dropout import Dropout
 from ..configs import FinetuneConfig, ModelConfig
+from ..utils.npz_store import NpzShardStore
 from ..geometry import angle_features
 from ..models.bert import dense, layer_norm
 from ..models.legacy import RecurrentVLNBert
+from .geometry_ce import heading_from_quaternion
 from .graph_map import estimate_cand_pos
 from .waypoint_predictor import WaypointPredictor, extract_waypoints
 
@@ -102,53 +104,23 @@ class PrevalentPolicy(nn.Module):
         raise ValueError(f"unknown mode: {mode}")
 
 
-class DaggerEpisodeStore:
+class DaggerEpisodeStore(NpzShardStore):
     """Disk-backed episode store (role of the reference's LMDB recollection
-    store, dagger_trainer.py:101-111 + recollection_dataset.py).
-
-    One .npz per episode under ``directory``; only filenames are held in RAM,
-    so capacity is bounded by disk, not memory. ``capacity`` evicts the
-    oldest shards (FIFO) like a ring buffer.
-    """
-
-    def __init__(self, directory: str, capacity: Optional[int] = None):
-        self.directory = directory
-        self.capacity = capacity
-        os.makedirs(directory, exist_ok=True)
-        self._names: List[str] = sorted(
-            n for n in os.listdir(directory) if n.endswith(".npz")
-        )
-        self._next_id = (
-            int(self._names[-1][3:-4]) + 1 if self._names else 0
-        )
-
-    def __len__(self) -> int:
-        return len(self._names)
-
-    def append(self, episode: Dict[str, np.ndarray]) -> None:
-        name = f"ep_{self._next_id:08d}.npz"
-        self._next_id += 1
-        np.savez_compressed(os.path.join(self.directory, name), **episode)
-        self._names.append(name)
-        while self.capacity is not None and len(self._names) > self.capacity:
-            old = self._names.pop(0)
-            os.unlink(os.path.join(self.directory, old))
-
-    def get(self, index: int) -> Dict[str, np.ndarray]:
-        path = os.path.join(self.directory, self._names[index])
-        with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+    store, dagger_trainer.py:101-111 + recollection_dataset.py): the shared
+    NpzShardStore FIFO persistence plus epoch batching."""
 
     def iter_batches(self, batch_size: int,
                      rng: Optional[np.random.Generator] = None):
         """Stream shuffled fixed-size batches from disk; the trailing
-        remainder is wrapped with the epoch's first episodes so every batch
-        is full (static shapes for the jitted update)."""
+        remainder wraps cyclically over the epoch's order so EVERY batch is
+        full even when the store holds fewer episodes than batch_size
+        (static shapes for the jitted update)."""
         rng = rng or np.random.default_rng(0)
-        order = rng.permutation(len(self._names))
+        order = rng.permutation(len(self))
         if len(order) == 0:
             return
-        padded = np.concatenate([order, order[: (-len(order)) % batch_size]])
+        total = -(-len(order) // batch_size) * batch_size
+        padded = np.resize(order, total)  # tiles cyclically
         for i in range(0, len(padded), batch_size):
             eps = [self.get(j) for j in padded[i : i + batch_size]]
             yield _stack_episodes(eps)
@@ -386,9 +358,14 @@ class PrevalentDaggerAgent:
                             obs[i]["position"], obs[i]["orientation"],
                             [cand_angles[i][act[i]]], [cand_dists[i][act[i]]],
                         )[0]
-                        self.env.teleport(
-                            i, pos, float(cand_angles[i][act[i]])
-                        )
+                        # cand angles are ego-relative clockwise
+                        # (estimate_cand_pos); teleport takes the ABSOLUTE
+                        # world heading, so face the travelled direction
+                        new_heading = (
+                            heading_from_quaternion(obs[i]["orientation"])
+                            + float(cand_angles[i][act[i]])
+                        ) % (2 * math.pi)
+                        self.env.teleport(i, pos, new_heading)
                 if ended.all():
                     break
                 obs = self.env.observations()
@@ -537,5 +514,5 @@ def run_dagger(agent, store_dir: str, *, policy: str,
             if log_fn:
                 log_fn(it, {"dagger/beta": beta, "dagger/collected": n,
                             "dagger/loss": history["losses"][-1],
-                            "dagger/store_size": len(store.bundles)})
+                            "dagger/store_size": len(store)})
     return history

@@ -164,6 +164,15 @@ def main(argv=None):
     if args.ml_weight is not None:
         cfg.ml_weight = args.ml_weight
 
+    pretrained = None
+    if args.pretrain_ckpt:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            pretrained = ckptr.restore(
+                os.path.abspath(args.pretrain_ckpt)
+            )["params"]
+
     if args.trainer == "dagger":
         from ..ce.dagger import PrevalentDaggerAgent, run_dagger
 
@@ -171,15 +180,23 @@ def main(argv=None):
         logger = MetricLogger(cfg.output_dir)
         store_dir = args.store_dir or os.path.join(cfg.output_dir, "store")
         if args.policy == "prevalent":
+            # PREVALENT loads torch-layout state dicts (vlnbert_init.py),
+            # not the pretrain orbax tree — --pretrain_ckpt doesn't apply
+            if args.pretrain_ckpt:
+                raise SystemExit(
+                    "--pretrain_ckpt is the glocal pretrain tree; the "
+                    "prevalent policy loads torch weights via "
+                    "models.legacy.prevalent_to_tree instead"
+                )
             agent = PrevalentDaggerAgent(cfg, env, seed=cfg.seed)
             agent.init_params()
         else:
             agent = CEAgent(
                 cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio,
                 loc_noise=args.loc_noise, ghost_aug=args.ghost_aug,
-                waypoint_aug=not args.no_waypoint_aug,
+                waypoint_aug=not args.no_waypoint_aug, mesh=mesh,
             )
-            agent.init_params()
+            agent.init_params(pretrained_params=pretrained)
         run_dagger(
             agent, store_dir, policy=args.policy,
             dagger_iters=args.dagger_iters, update_size=args.update_size,
@@ -192,12 +209,6 @@ def main(argv=None):
     agent = CEAgent(cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio,
                     loc_noise=args.loc_noise, ghost_aug=args.ghost_aug,
                     waypoint_aug=not args.no_waypoint_aug, mesh=mesh)
-    pretrained = None
-    if args.pretrain_ckpt:
-        import orbax.checkpoint as ocp
-
-        with ocp.StandardCheckpointer() as ckptr:
-            pretrained = ckptr.restore(os.path.abspath(args.pretrain_ckpt))["params"]
     agent.init_params(pretrained_params=pretrained)
 
     os.makedirs(cfg.output_dir, exist_ok=True)

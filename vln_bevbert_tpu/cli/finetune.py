@@ -149,7 +149,10 @@ def build_envs(cfg, args):
                     # rxr val is large; the reference evaluates every 8th
                     # item during training (main_nav.py:86-89)
                     annos = annos[::8]
-                val_annos[s] = annos
+                if annos:
+                    val_annos[s] = annos
+                else:
+                    print(f"[finetune] skipping empty eval split {s}")
             except FileNotFoundError as e:
                 print(f"[finetune] skipping eval split {s}: {e}")
         if not val_annos:

@@ -140,8 +140,14 @@ class OptimConfig:
                                    # resolution, and state_sr removes the
                                    # residual rounding bias (optim.py:
                                    # scale_by_adam_lp).
-    state_sr: bool = True          # stochastic rounding on low-precision
-                                   # moment stores (ignored at float32)
+    state_sr: bool = False         # stochastic rounding on low-precision
+                                   # moment stores (ignored when both moments
+                                   # are float32). Default OFF: with b1=0.9 /
+                                   # b2=0.98 each step's moment increment sits
+                                   # well above bf16 resolution, so plain
+                                   # round-to-nearest tracks (test_optim.py)
+                                   # and SR's per-element random bits are pure
+                                   # overhead on the bandwidth-bound update.
     grad_dtype: str = "float32"    # dtype the loss is differentiated in:
                                    # "bfloat16" makes the backward pass emit
                                    # bf16 grads (halving grad write + norm

@@ -139,6 +139,11 @@ class R2RNavBatch:
 
     # ------------------------------------------------------------- minibatch
     def next_minibatch(self):
+        if not self.data:
+            raise ValueError(
+                f"{type(self).__name__} has no episodes to batch "
+                "(empty annotation split?)"
+            )
         batch = self.data[self.ix : self.ix + self.batch_size]
         if len(batch) < self.batch_size:
             # wrap; loops as often as needed so datasets smaller than the

@@ -19,9 +19,11 @@ list did not scale to the reference's dataset size).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Optional
 
 import numpy as np
+
+from ..utils.npz_store import NpzShardStore
 
 Bundle = Dict[str, np.ndarray]
 
@@ -32,18 +34,14 @@ class TeacherRecollectionStore:
         self.agent = agent
         self.capacity = capacity
         self.spill_dir = spill_dir
-        self._next_id = 0
-        # entries are in-RAM bundles, or str paths when spilled to disk
-        self.bundles: List[Union[Bundle, str]] = []
-        if spill_dir:
-            os.makedirs(spill_dir, exist_ok=True)
-            existing = sorted(
-                n for n in os.listdir(spill_dir) if n.endswith(".npz")
-            )
-            self.bundles = [os.path.join(spill_dir, n) for n in existing]
-            if existing:
-                self._next_id = int(existing[-1][3:-4]) + 1
-            self._evict()
+        # in-RAM bundle list, or the shared FIFO shard store when spilled
+        self.bundles: List[Bundle] = []
+        self._disk: Optional[NpzShardStore] = (
+            NpzShardStore(spill_dir, capacity) if spill_dir else None
+        )
+
+    def __len__(self) -> int:
+        return len(self._disk) if self._disk is not None else len(self.bundles)
 
     # ------------------------------------------------------------- collection
     def collect(self, n_rollouts: int, beta: Optional[float] = None) -> int:
@@ -84,29 +82,18 @@ class TeacherRecollectionStore:
         return len(captured)
 
     def _append(self, bundle: Bundle) -> None:
-        if self.spill_dir:
-            path = os.path.join(
-                self.spill_dir, f"ep_{self._next_id:08d}.npz"
-            )
-            self._next_id += 1
-            np.savez_compressed(path, **bundle)
-            self.bundles.append(path)
+        if self._disk is not None:
+            self._disk.append(bundle)
         else:
             self.bundles.append(bundle)
-        self._evict()
+            self._evict()
 
     def _evict(self) -> None:
         while len(self.bundles) > self.capacity:
-            old = self.bundles.pop(0)
-            if isinstance(old, str):
-                os.unlink(old)
+            self.bundles.pop(0)
 
     def _get(self, i: int) -> Bundle:
-        b = self.bundles[i]
-        if isinstance(b, str):
-            with np.load(b) as z:
-                return {k: z[k] for k in z.files}
-        return b
+        return self._disk.get(i) if self._disk is not None else self.bundles[i]
 
     # --------------------------------------------------------------- training
     def train_epochs(self, epochs: int, rng: Optional[np.random.Generator] = None):
@@ -115,7 +102,7 @@ class TeacherRecollectionStore:
         rng = rng or np.random.default_rng(0)
         losses = []
         for _ in range(epochs):
-            order = rng.permutation(len(self.bundles))
+            order = rng.permutation(len(self))
             for i in order:
                 losses.append(self.agent.learn_from_bundle(self._get(i)))
         return losses
@@ -123,21 +110,27 @@ class TeacherRecollectionStore:
     # ------------------------------------------------------------ persistence
     def save(self, directory: str):
         os.makedirs(directory, exist_ok=True)
-        for i in range(len(self.bundles)):
+        for i in range(len(self)):
             np.savez_compressed(
                 os.path.join(directory, f"ep_{i:06d}.npz"), **self._get(i)
             )
 
     def load(self, directory: str):
+        """Import an archive written by ``save``. With ``spill_dir`` set the
+        files are COPIED into the spill dir under fresh ids (never registered
+        in place: eviction unlinks store entries, and the archive must stay
+        intact — it is the user's saved dataset)."""
         for name in sorted(os.listdir(directory)):
-            if name.endswith(".npz"):
-                if self.spill_dir:
-                    self.bundles.append(os.path.join(directory, name))
-                else:
-                    with np.load(os.path.join(directory, name)) as z:
-                        self.bundles.append({k: z[k] for k in z.files})
+            if not name.endswith(".npz"):
+                continue
+            src = os.path.join(directory, name)
+            if self._disk is not None:
+                self._disk.import_file(src)
+            else:
+                with np.load(src) as z:
+                    self.bundles.append({k: z[k] for k in z.files})
         self._evict()
-        return len(self.bundles)
+        return len(self)
 
 
 def agent_build_bundle(agent, lang, records) -> Bundle:

@@ -75,7 +75,12 @@ def _make_kernel(n_grid: int, thresh: int, scale: float):
         # so every block draws an independent, reproducible stream
         extra = [pl.program_id(d) for d in range(1, n_grid)]
         pltpu.prng_seed(seed_ref[0], *extra)
-        bits = pltpu.prng_random_bits(x_ref.shape)
+        # prng_random_bits returns int32 (mosaic/primitives.py); comparing it
+        # signed against the threshold would always drop the sign-bit half of
+        # the stream (P(keep) = 0.5 - rate) — bitcast to uint32 first
+        bits = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits(x_ref.shape), jnp.uint32
+        )
         keep = bits >= jnp.uint32(thresh)
         x = x_ref[...]
         o_ref[...] = jnp.where(keep, x * jnp.asarray(scale, x.dtype),

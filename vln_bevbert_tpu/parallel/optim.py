@@ -188,7 +188,17 @@ def make_optimizer(cfg: OptimConfig, params_for_mask=None,
         mu_dtype = jnp.dtype(getattr(cfg, "mu_dtype", "float32"))
         nu_dtype = jnp.dtype(getattr(cfg, "nu_dtype", "float32"))
         bf16_grads = jnp.dtype(getattr(cfg, "grad_dtype", "float32")) != jnp.float32
-        if nu_dtype == jnp.float32 and not bf16_grads:
+        state_sr = getattr(cfg, "state_sr", False)
+        # optax.adamw covers: f32 nu, f32 grads, and round-to-nearest mu
+        # stores. Anything else (low-precision nu, bf16 grads, or SR
+        # requested on a low-precision moment) routes through
+        # scale_by_adam_lp so state_sr means the same thing on every path.
+        lp_needed = (
+            nu_dtype != jnp.float32
+            or bf16_grads
+            or (state_sr and mu_dtype != jnp.float32)
+        )
+        if not lp_needed:
             inner = optax.adamw(
                 learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1],
                 eps=1e-8, weight_decay=cfg.weight_decay, mask=mask,
@@ -201,7 +211,7 @@ def make_optimizer(cfg: OptimConfig, params_for_mask=None,
                 scale_by_adam_lp(
                     b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8,
                     mu_dtype=mu_dtype, nu_dtype=nu_dtype,
-                    stochastic_round=getattr(cfg, "state_sr", True),
+                    stochastic_round=state_sr,
                 ),
                 optax.add_decayed_weights(cfg.weight_decay, mask=mask),
                 optax.scale_by_learning_rate(sched),
