@@ -105,6 +105,17 @@ def _measure_pretrain() -> dict:
     # at B=16) shifts, so the pinned constant stays honest to <0.1%.
     if os.environ.get("BENCH_BATCH"):
         cfg.train_batch_size = int(os.environ["BENCH_BATCH"])
+    # Optimizer-memory/grad dtype probes (same contract as BENCH_BATCH: a
+    # documented experiment knob, not a config drift — dtype changes leave
+    # the pinned per-sample FLOPs honest; they shift bytes, not math).
+    if os.environ.get("BENCH_NU_DTYPE"):
+        cfg.optim.nu_dtype = os.environ["BENCH_NU_DTYPE"]
+    if os.environ.get("BENCH_MU_DTYPE"):
+        cfg.optim.mu_dtype = os.environ["BENCH_MU_DTYPE"]
+    if os.environ.get("BENCH_GRAD_DTYPE"):
+        cfg.optim.grad_dtype = os.environ["BENCH_GRAD_DTYPE"]
+    if os.environ.get("BENCH_STATE_SR"):
+        cfg.optim.state_sr = os.environ["BENCH_STATE_SR"] == "1"
     B = cfg.train_batch_size
     rng = np.random.default_rng(0)
     batch = synthetic_pretrain_batch(rng, B, cfg.shapes, cfg.model, raw_bev=True)

@@ -62,6 +62,28 @@ def test_module_contract():
         net.apply({}, x, deterministic=False)  # missing rng fails loudly
 
 
+def test_sdy_sharding_rule_parses():
+    # Shardy (the default partitioner since jax 0.9) requires an explicit
+    # sharding_rule on custom_partitioning ops — callbacks alone abort
+    # compilation even single-chip (BENCH r3 failure mode). Pin that the
+    # generated einsum rule parses for every rank the model emits and that
+    # only the batch factor passes through.
+    from jax._src.custom_partitioning_sharding_rule import (
+        str_to_sdy_sharding_rule,
+    )
+
+    from vln_bevbert_tpu.ops.dropout import _sdy_rule_for_rank
+
+    for nd in (2, 3, 4, 5):
+        rule, kw = _sdy_rule_for_rank(nd)
+        parsed = str_to_sdy_sharding_rule(rule, **kw)
+        assert len(parsed.operand_mappings[0]) == nd
+        assert parsed.operand_mappings[1] == ("b",)
+        assert parsed.need_replication_factors == tuple(
+            f"f{i}" for i in range(1, nd)
+        )
+
+
 def test_grid_split_fits_budget():
     # attention-probs shape at the flagship scale, bf16
     grid, block = _grid_split((16, 12, 441, 441), 2)

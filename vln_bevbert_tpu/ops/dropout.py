@@ -71,10 +71,12 @@ def _grid_split(shape: Sequence[int], itemsize: int):
 
 def _make_kernel(n_grid: int, thresh: int, scale: float):
     def kernel(seed_ref, x_ref, o_ref):
-        # one seed per leading-axis row; fold the remaining grid coordinates
-        # so every block draws an independent, reproducible stream
+        # one seed per leading-axis row (seeds live whole in SMEM — the TPU
+        # lowering rejects rank-1 blocks narrower than the array unless
+        # 128-aligned); fold the remaining grid coordinates so every block
+        # draws an independent, reproducible stream
         extra = [pl.program_id(d) for d in range(1, n_grid)]
-        pltpu.prng_seed(seed_ref[0], *extra)
+        pltpu.prng_seed(seed_ref[pl.program_id(0)], *extra)
         # prng_random_bits returns int32 (mosaic/primitives.py); comparing it
         # signed against the threshold would always drop the sign-bit half of
         # the stream (P(keep) = 0.5 - rate) — bitcast to uint32 first
@@ -93,6 +95,14 @@ def _pallas_apply(x: jax.Array, seeds: jax.Array, rate: float) -> jax.Array:
     thresh = min(int(round(rate * 2 ** 32)), 2 ** 32 - 1)
     scale = 1.0 / (1.0 - rate)
     grid_dims, block_shape = _grid_split(x.shape, x.dtype.itemsize)
+    if len(block_shape) == 1:
+        # Mosaic requires a block's last TWO dims be (8,128)-tile-divisible or
+        # equal to the array's — a (1, D) block over a gridded row axis is
+        # neither. Insert a singleton axis so the block's trailing dims
+        # (1, D) equal the array's; grid/seed semantics are unchanged.
+        x = x.reshape(*x.shape[:-1], 1, x.shape[-1])
+        out = _pallas_apply(x, seeds, rate)
+        return out.reshape(*out.shape[:-2], out.shape[-1])
     n_grid = len(grid_dims)
     block = (1,) * n_grid + tuple(block_shape)
 
@@ -105,8 +115,7 @@ def _pallas_apply(x: jax.Array, seeds: jax.Array, rate: float) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=tuple(grid_dims),
         in_specs=[
-            pl.BlockSpec((1,), lambda *ids: (ids[0],),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole seeds vector
             pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
@@ -117,10 +126,26 @@ def _pallas_apply(x: jax.Array, seeds: jax.Array, rate: float) -> jax.Array:
     )(seeds, x)
 
 
+def _sdy_rule_for_rank(ndim: int):
+    """Shardy sharding rule for apply(x[ndim], seeds[1]) -> y[ndim].
+
+    Batch factor ``b`` (dim 0, shared with the seeds vector) passes through —
+    a dp-sharded input runs shard-local. Trailing factors need replication:
+    the kernel regenerates bits from (row seed, block program_id), so two
+    shards of the same row would draw identical streams and correlate the
+    mask across trailing-dim shards.
+    """
+    xs = " ".join(["b"] + [f"f{i}" for i in range(1, ndim)])
+    rule = f"{xs}, b -> {xs}"
+    reps = tuple(f"f{i}" for i in range(1, ndim))
+    return rule, ({"need_replication_factors": reps} if reps else {})
+
+
 @functools.lru_cache(maxsize=None)
 def _partitioned_apply(rate: float):
     """Batch-dim-partitionable wrapper: the kernel is row-independent (one
-    seed per example), so a dp-sharded input runs shard-local."""
+    seed per example), so a dp-sharded input runs shard-local. Both GSPMD
+    (callbacks) and Shardy (sharding_rule) partitioners are served."""
     from jax.experimental.custom_partitioning import custom_partitioning
 
     @custom_partitioning
@@ -146,8 +171,13 @@ def _partitioned_apply(rate: float):
 
         return mesh, impl, x_sharding, (x_sharding, seeds_sharding)
 
+    def sharding_rule(mesh, value_types, result_types):
+        del mesh, result_types
+        return _sdy_rule_for_rank(len(value_types[0].shape))
+
     apply.def_partition(
-        infer_sharding_from_operands=infer, partition=partition
+        infer_sharding_from_operands=infer, partition=partition,
+        sharding_rule=sharding_rule,
     )
     return apply
 
