@@ -13,6 +13,16 @@ This kernel regenerates mask bits *inside* VMEM with the TPU's native PRNG
 the backward pass re-seeds the same PRNG instead of loading a saved mask, so
 the residual is one uint32 seed per example.
 
+MEASURED OUTCOME (v5e, flagship pretrain, unroll=5 blocks, 2026-08-18): the
+kernel is a 6.4% END-TO-END REGRESSION — 424.4 samples/s (MFU 0.299) fused
+vs 453.6 samples/s (MFU 0.319) with the plain XLA path. The premise double
+counts XLA: RBG/convert/compare/select fuse into the epilogues of adjacent
+ops, so the bits tensor never round-trips HBM in the first place — while
+``pallas_call`` is a fusion BARRIER that forces every dropout site's x and y
+to materialize in HBM. The kernel therefore defaults OFF
+(VLN_BEVBERT_FUSED_DROPOUT=1 opts in; the kernel + its tests remain as the
+measurement record and for shapes where a fusion barrier is already present).
+
 Semantics: keep element iff bits >= round(rate * 2^32)  (P(keep) = 1 - rate,
 exact to 2^-32); kept elements scale by 1/(1-rate) — identical in
 distribution to nn.Dropout, different mask stream (the reference's torch
@@ -47,9 +57,10 @@ _BLOCK_BUDGET_BYTES = 6 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
-    # VLN_BEVBERT_FUSED_DROPOUT=0 forces the jax.random fallback even on TPU
-    # (escape hatch for bench/driver runs if a backend rejects the kernel)
-    if os.environ.get("VLN_BEVBERT_FUSED_DROPOUT", "1") == "0":
+    # Default OFF: measured 6.4% slower than XLA's fused dropout at the
+    # flagship config (see module docstring). VLN_BEVBERT_FUSED_DROPOUT=1
+    # opts the kernel in for re-measurement / fusion-barrier-adjacent sites.
+    if os.environ.get("VLN_BEVBERT_FUSED_DROPOUT", "0") != "1":
         return False
     return jax.default_backend() == "tpu"
 
