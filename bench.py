@@ -210,12 +210,20 @@ def _measure_finetune() -> dict:
     """Device-time replay-update throughput at the reference ft envelope:
     batch 4/chip, 15-step episode BPTT, instruction len 80, 21x21 BEV
     (scripts/ft_r2r.bash:22-62). One compiled scan of FT_BLOCK updates per
-    dispatch — the per-dispatch RPC cost amortises to noise."""
+    dispatch — the per-dispatch RPC cost amortises to noise.
+
+    Also times the ROLLOUT forward chain (language once + panorama +
+    navigation per step, make_rollout_block) — the device envelope of the
+    DAgger collection phase, which the replay number does not cover."""
     import jax
 
     from vln_bevbert_tpu.configs import FinetuneConfig, ShapeConfig
     from vln_bevbert_tpu.data.synthetic import synthetic_replay_bundle
-    from vln_bevbert_tpu.nav.agent import make_replay_agent, make_replay_block
+    from vln_bevbert_tpu.nav.agent import (
+        make_replay_agent,
+        make_replay_block,
+        make_rollout_block,
+    )
     from vln_bevbert_tpu.utils.rng import train_key
 
     B = 4
@@ -241,7 +249,60 @@ def _measure_finetune() -> dict:
     dt = time.time() - t0
     _log(f"ft timed {reps}x{length} updates in {dt:.1f}s")
     steps_per_sec = reps * length / dt
-    return {"steps_per_sec": steps_per_sec, "samples_per_sec": steps_per_sec * B}
+    out = {"steps_per_sec": steps_per_sec, "samples_per_sec": steps_per_sec * B}
+
+    # rollout forwards (episodes per dispatch chosen so one dispatch is ~1s)
+    T = rb["targets"].shape[0]
+    episodes = int(os.environ.get("BENCH_ROLLOUT_EPISODES", "4"))
+    roll = make_rollout_block(agent, episodes)
+    t0 = time.time()
+    float(roll(params, rb))
+    _log(f"rollout warmup {time.time() - t0:.0f}s")
+    t0 = time.time()
+    for _ in range(reps):
+        acc = roll(params, rb)
+    float(acc)
+    dt = time.time() - t0
+    _log(f"rollout timed {reps}x{episodes} episodes ({T} steps) in {dt:.1f}s")
+    out["rollout_steps_per_sec"] = reps * episodes * T / dt
+    return out
+
+
+def _measure_loader() -> dict:
+    """Host pipeline: samples/s of PretrainLoader.build_batch producing
+    flagship batches on a synthetic MP3D-scale world (benchmarks/
+    loader_bench.py). Host-only numpy work — the number that must meet the
+    device samples/s for the system to be chip-bound end-to-end."""
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from loader_bench import build_world
+
+    from vln_bevbert_tpu.data.loader import PretrainLoader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg, nav_db = build_world(tmp)
+        loader = PretrainLoader(nav_db, cfg, seed=0)
+        # cold pass: feature ingest (h5 reads + LRU fills) included
+        steps = 3
+        t0 = time.time()
+        for s in range(steps):
+            loader.build_batch(s)
+        cold = steps * loader.global_batch_size / (time.time() - t0)
+        # steady state: caches warm (the reference holds features in memory
+        # too — in_memory=True, dataset.py:87-118); ingest amortises over
+        # the first epoch
+        t0 = time.time()
+        for s in range(steps):
+            loader.build_batch(s)
+        dt = time.time() - t0
+    cores = os.cpu_count() or 1
+    sps = steps * loader.global_batch_size / dt
+    _log(f"loader {sps:.1f} warm / {cold:.1f} cold samples/s/core "
+         f"on {cores} core(s)")
+    return {"samples_per_sec_per_core": sps,
+            "cold_samples_per_sec_per_core": cold, "cores": cores}
 
 
 def main():
@@ -257,6 +318,14 @@ def main():
             ft = _with_retry("finetune", _measure_finetune, attempts=2)
         except Exception as e:  # secondary metric: never sink the artifact
             _log(f"finetune bench skipped after errors: "
+                 f"{type(e).__name__}: {str(e).splitlines()[0][:200]}")
+
+    loader = None
+    if os.environ.get("BENCH_SKIP_LOADER") != "1":
+        try:
+            loader = _measure_loader()
+        except Exception as e:  # secondary metric: never sink the artifact
+            _log(f"loader bench skipped after errors: "
                  f"{type(e).__name__}: {str(e).splitlines()[0][:200]}")
 
     samples_per_sec = pre["samples_per_sec"]
@@ -291,8 +360,39 @@ def main():
                         ),
                         "finetune_method": "compiled lax.scan of replay "
                                            "updates (device time, B=4, T=15)",
+                        **(
+                            {
+                                "rollout_steps_per_sec": round(
+                                    ft["rollout_steps_per_sec"], 2
+                                ),
+                                "rollout_method": "compiled scan of the live "
+                                                  "rollout's per-step forward "
+                                                  "chain (language + panorama "
+                                                  "+ navigation, device time, "
+                                                  "B=4)",
+                            }
+                            if "rollout_steps_per_sec" in ft else {}
+                        ),
                     }
                     if ft is not None else {}
+                ),
+                **(
+                    {
+                        "loader_samples_per_sec_per_core": round(
+                            loader["samples_per_sec_per_core"], 2
+                        ),
+                        "loader_cold_samples_per_sec_per_core": round(
+                            loader["cold_samples_per_sec_per_core"], 2
+                        ),
+                        "loader_cores": loader["cores"],
+                        "loader_note": "host batch synthesis (warm feature "
+                                       "LRU / cold ingest), measured on this "
+                                       "host; the device number times "
+                                       "pre-staged batches — end-to-end is "
+                                       "host-bound unless per_core x host "
+                                       "cores covers the device rate",
+                    }
+                    if loader is not None else {}
                 ),
                 **(
                     {"per_step_dispatch_samples_per_sec": round(pre["per_step_dispatch"], 2)}

@@ -3,6 +3,7 @@
 # /root/reference/bevbert_ce/vlnce_baselines/ss_trainer_ETP.py).
 python -m vln_bevbert_tpu.cli.ce_train \
     --trainer ss-etp \
+    --waypoint_ckpt "${WAYPOINT_CKPT:-data/wp_pred/check_cwp_bestdist_hfov90}" \
     --iters 10000 \
     --log_every 500 \
     --sample_ratio 0.75 \

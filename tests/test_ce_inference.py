@@ -170,7 +170,7 @@ def test_ce_cli_with_real_format_episodes(tmp_path):
     ce_train.main([
         "--config", str(cfg), "--data_path", str(data_path),
         "--run_type", "eval", "--eval_batches", "1",
-        "--output_dir", str(out), "--seed", "0",
+        "--output_dir", str(out), "--seed", "0", "--allow_random_frozen",
     ])
     metrics = [json.loads(l)
                for l in (out / "metrics.jsonl").read_text().splitlines()]

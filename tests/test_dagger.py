@@ -129,6 +129,7 @@ def test_dagger_cli(tmp_path):
         "--config", str(cfg), "--trainer", "dagger", "--policy", "prevalent",
         "--dagger_iters", "1", "--update_size", "2", "--dagger_epochs", "1",
         "--n_episodes", "4", "--output_dir", str(out), "--seed", "0",
+        "--allow_random_frozen",
     ])
     metrics = [json.loads(l)
                for l in (out / "metrics.jsonl").read_text().splitlines()]

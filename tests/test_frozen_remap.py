@@ -37,7 +37,7 @@ class _TorchWaypoint(nn.Module):
     key layout (visual_fc_depth.1, waypoint_TRM.bert.encoder.layer.N.*,
     vis_classifier.{0,2}); HF BertLayer shares pytorch_transformers' naming."""
 
-    def __init__(self, hidden=768):
+    def __init__(self, hidden=768, heads=12, intermediate=3072):
         super().__init__()
         from transformers import BertConfig
         from transformers.models.bert.modeling_bert import BertLayer
@@ -46,7 +46,8 @@ class _TorchWaypoint(nn.Module):
             nn.Flatten(), nn.Linear(128 * 4 * 4, hidden), nn.ReLU(True)
         )
         cfg = BertConfig(
-            hidden_size=hidden, num_attention_heads=12, intermediate_size=3072,
+            hidden_size=hidden, num_attention_heads=heads,
+            intermediate_size=intermediate,
             hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
             layer_norm_eps=1e-12, attn_implementation="eager",
         )

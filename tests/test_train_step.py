@@ -132,6 +132,47 @@ def test_finetune_replay_dp_equals_single_device():
     assert np.isfinite(loss_step)
 
 
+@pytest.mark.slow
+def test_dp_equals_single_device_hidden768():
+    """Flagship-WIDTH DP equality (VERDICT r3 missing 3): hidden 768, full
+    30522 vocab and 768-wide heads — the dims where width-specific sharding
+    bugs (e.g. the MLM gather) would hide from the hidden-32 tests. Depth is
+    cut (2+1+1 layers) and sequence shapes are tiny: DP sharding is per-array,
+    so width is pinned by ONE layer of each kind; depth only multiplies the
+    8-virtual-devices-on-1-core execution cost."""
+    wide = ModelConfig(
+        hidden_size=768, num_attention_heads=12, intermediate_size=3072,
+        num_l_layers=2, num_pano_layers=1, num_x_layers=1,
+        image_feat_size=768, obj_feat_size=0, bev_grid_feat_size=768,
+        bev_dim=5, dtype="float32", max_position_embeddings=512,
+    )
+    cfg = PretrainConfig(
+        model=wide, shapes=SHAPES,
+        optim=OptimConfig(warmup_steps=2, num_train_steps=10),
+        tasks=("mlm",), train_batch_size=8,
+    )
+    rng_np = np.random.default_rng(21)
+    batch = synthetic_pretrain_batch(
+        rng_np, 8, SHAPES, wide, with_objects=False, raw_bev=True
+    )
+    rng = jax.random.key(4)
+
+    model, projector, s1 = init_pretrain_state(cfg, batch)
+    step1 = make_pretrain_step(model, projector, None)
+    s1, m1 = step1(s1, batch, rng, "mlm")
+
+    model, projector, s8 = init_pretrain_state(cfg, batch)
+    mesh = make_mesh(jax.devices()[:8])
+    step8 = make_pretrain_step(model, projector, mesh)
+    with mesh:
+        s8, m8 = step8(s8, shard_batch(mesh, batch), rng, "mlm")
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_loss_decreases_over_steps():
     cfg = tiny_cfg(learning_rate=1e-3)
     batch = make_batch(8, seed=5)

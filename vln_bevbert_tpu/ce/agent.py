@@ -269,7 +269,10 @@ class CEAgent(GMapNavAgent):
     def _ce_teacher(self, obs, gmaps, gmap_vpids, ended):
         """Oracle: stop within the success radius, else the ghost minimising
         (geodesic to its front + front->ghost + ghost->goal)
-        (ref _teacher_action_new, ss_trainer_BEV.py:317-345)."""
+        (ref _teacher_action_new, ss_trainer_BEV.py:317-345). All of a slot's
+        ghost->goal distances ride ONE batched dists_to_goal query (one RPC
+        per step under the subprocess pool; one call per geodesic solve batch
+        in habitat) instead of one oracle call per ghost."""
         a = np.full(len(obs), IGNORE_ID, np.int64)
         for i, (ob, gmap) in enumerate(zip(obs, gmaps)):
             if ended[i]:
@@ -277,17 +280,20 @@ class CEAgent(GMapNavAgent):
             if self.env.dist_to_goal(i) < SUCCESS_DISTANCE:
                 a[i] = 0
                 continue
-            best, best_j = math.inf, IGNORE_ID
             cur_vp = list(gmap.node_pos)[-1]
-            for j, vp in enumerate(gmap_vpids[i]):
-                if vp is None or not vp.startswith("g"):
-                    continue
+            ghosts = [
+                (j, vp) for j, vp in enumerate(gmap_vpids[i])
+                if vp is not None and vp.startswith("g")
+            ]
+            if not ghosts:
+                continue
+            goal_d = self.env.dists_to_goal(
+                i, [gmap.ghost_aug_pos[vp] for _, vp in ghosts]
+            )
+            best, best_j = math.inf, IGNORE_ID
+            for (j, vp), dg in zip(ghosts, goal_d):
                 front_dis, front_vp = gmap.front_to_ghost_dist(vp)
-                cost = (
-                    gmap.graph.distance(cur_vp, front_vp)
-                    + front_dis
-                    + self.env.dist_to_goal(i, gmap.ghost_aug_pos[vp])
-                )
+                cost = gmap.graph.distance(cur_vp, front_vp) + front_dis + dg
                 if cost < best:
                     best, best_j = cost, j
             a[i] = best_j

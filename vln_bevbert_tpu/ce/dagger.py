@@ -111,19 +111,25 @@ class DaggerEpisodeStore(NpzShardStore):
 
     def iter_batches(self, batch_size: int,
                      rng: Optional[np.random.Generator] = None):
-        """Stream shuffled fixed-size batches from disk; the trailing
-        remainder wraps cyclically over the epoch's order so EVERY batch is
-        full even when the store holds fewer episodes than batch_size
-        (static shapes for the jitted update)."""
+        """Stream shuffled fixed-size batches from disk — every batch is full
+        (static shapes for the jitted update). When the store holds at least
+        batch_size episodes, the trailing remainder is completed from the
+        tail of the epoch order (episodes repeat across batches, never within
+        one batch); only a store smaller than batch_size wraps cyclically."""
         rng = rng or np.random.default_rng(0)
         order = rng.permutation(len(self))
-        if len(order) == 0:
+        n = len(order)
+        if n == 0:
             return
-        total = -(-len(order) // batch_size) * batch_size
-        padded = np.resize(order, total)  # tiles cyclically
-        for i in range(0, len(padded), batch_size):
-            eps = [self.get(j) for j in padded[i : i + batch_size]]
-            yield _stack_episodes(eps)
+        if n < batch_size:
+            order = np.resize(order, batch_size)  # tiles cyclically
+            n = batch_size
+        for i in range(0, n - batch_size + 1, batch_size):
+            yield _stack_episodes(
+                [self.get(j) for j in order[i : i + batch_size]]
+            )
+        if n % batch_size:  # remainder: last full window of the order
+            yield _stack_episodes([self.get(j) for j in order[-batch_size:]])
 
 
 def _stack_episodes(eps: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -258,7 +264,10 @@ class PrevalentDaggerAgent:
     def _teacher(self, obs, cand_angles, cand_dists, stop_idx):
         """Oracle action (ref dagger_trainer._teacher_action:214-228): stop
         when within STOP_RADIUS of the goal, else the candidate whose
-        estimated position minimises geodesic distance to goal."""
+        estimated position minimises geodesic distance to goal. All of a
+        slot's candidate distances ride ONE batched dists_to_goal query —
+        under the subprocess pool each oracle call is a pipe round-trip, and
+        in habitat each is a geodesic solve."""
         B = len(obs)
         a = np.zeros(B, np.int64)
         for i, ob in enumerate(obs):
@@ -270,8 +279,7 @@ class PrevalentDaggerAgent:
                 cand_angles[i][: self.max_candidates],
                 cand_dists[i][: self.max_candidates],
             )
-            d = [self.env.dist_to_goal(i, p) for p in pos]
-            a[i] = int(np.argmin(d))
+            a[i] = int(np.argmin(self.env.dists_to_goal(i, pos)))
         return a
 
     def collect(self, store: DaggerEpisodeStore, n_rollouts: int,

@@ -205,6 +205,14 @@ class SyntheticContinuousEnv:
         pos = self.positions[slot] if position is None else position
         return self.geodesic(slot, pos, self.batch[slot].goal)
 
+    def dists_to_goal(self, slot: int, positions) -> np.ndarray:
+        """Batched oracle: distance-to-goal for many query positions in ONE
+        call, so teachers pay one RPC per step under the subprocess pool
+        (one geodesic solve per candidate in a habitat binding)."""
+        return np.asarray(
+            [self.dist_to_goal(slot, p) for p in positions], np.float64
+        )
+
     # ------------------------------------------------------------------- eval
     def eval_episode(self, slot: int, walked: np.ndarray) -> Dict[str, float]:
         """Positions-based CE metrics (ref ss_trainer_BEV.py:1184-1209 and

@@ -26,7 +26,7 @@ import numpy as np
 
 _SLOT_METHODS = {
     "teleport", "stop", "rotate", "forward_step", "previous_step_collided",
-    "geodesic", "dist_to_goal", "eval_episode",
+    "geodesic", "dist_to_goal", "dists_to_goal", "eval_episode",
 }
 
 

@@ -134,12 +134,13 @@ class HabitatContinuousEnv:
     def _camera_ring(self, sim, state):
         """Render the 12-view ring with step_without_obs-style cheap rotation
         (ref habitat_simulator.py:49-110) and encode."""
-        rgbs, depths = [], []
+        rgbs, raw_depths, depths = [], [], []
         base = self._heading(state)
         for k in range(self.num_views):
             heading = base + k * (2 * math.pi / self.num_views)
             obs = self._render_at(sim, state.position, heading)
             rgbs.append(obs["rgb"])
+            raw_depths.append(obs["depth"])
             depths.append(self._pool_depth(obs["depth"]))
         rgbs = np.stack(rgbs)
         depths = np.stack(depths)
@@ -150,9 +151,12 @@ class HabitatContinuousEnv:
             }
         else:
             ring = {"pooled": rgbs, "grid": rgbs}
+        # the DDPPO tower encodes the RAW depth frames (the reference feeds
+        # the 256x256 depth sensor, resnet_encoders.py:13-108); the pooled
+        # 14x14 grids are the BEV-lift product, not the tower input
         feats = (
-            self.depth_encoder(depths) if self.depth_encoder is not None
-            else depths
+            self.depth_encoder(np.stack(raw_depths))
+            if self.depth_encoder is not None else depths
         )
         return ring, depths, feats
 
@@ -230,6 +234,16 @@ class HabitatContinuousEnv:
         )
         return self.geodesic(slot, pos, self.batch[slot].goals[0].position)
 
+    def dists_to_goal(self, slot: int, positions) -> np.ndarray:
+        """Batched oracle: geodesic-to-goal for MANY query positions in one
+        call — under a subprocess env pool each oracle call is a pipe
+        round-trip, and in habitat each a geodesic solve, so the teachers
+        query all of a step's candidates at once (ref _teacher_action_new
+        queries per candidate, ss_trainer_BEV.py:317-345; batched here)."""
+        return np.asarray(
+            [self.dist_to_goal(slot, p) for p in positions], np.float64
+        )
+
     # ------------------------------------------------------------- eval
     def eval_episode(self, slot: int, walked: np.ndarray):
         from .env import compute_ce_episode_metrics
@@ -238,3 +252,35 @@ class HabitatContinuousEnv:
         return compute_ce_episode_metrics(
             walked, gt, lambda p: self.dist_to_goal(slot, p)
         )
+
+
+def make_habitat_env(habitat_config_path: str, batch_size: int, *,
+                     data_path: Optional[str] = None, split: str = "train",
+                     clip_encoder=None, depth_encoder=None,
+                     num_views: int = 12, grid_hw: int = 14
+                     ) -> "HabitatContinuousEnv":
+    """Construct the real CE env from a habitat config YAML, the entry the
+    CLI's ``--habitat_config`` flag drives (role of the reference's
+    run.py get_config + env construction, /root/reference/bevbert_ce/
+    vlnce_baselines/common/env_utils.py:35-126).
+
+    ``data_path``/``split`` override TASK_CONFIG.DATASET (the reference's
+    ``DATA_PATH`` with a {split} template); episodes come from habitat's own
+    dataset registry so they carry scene ids and habitat goal/instruction
+    objects, which this binding's observation assembly expects.
+    """
+    import habitat  # external
+
+    config = habitat.get_config(habitat_config_path)
+    ds_cfg = getattr(config, "DATASET", None) or config.TASK_CONFIG.DATASET
+    if data_path is not None:
+        config.defrost()
+        ds_cfg.DATA_PATH = data_path
+        ds_cfg.SPLIT = split
+        config.freeze()
+    dataset = habitat.make_dataset(ds_cfg.TYPE, config=ds_cfg)
+    return HabitatContinuousEnv(
+        config, dataset.episodes, batch_size=batch_size,
+        clip_encoder=clip_encoder, depth_encoder=depth_encoder,
+        num_views=num_views, grid_hw=grid_hw,
+    )

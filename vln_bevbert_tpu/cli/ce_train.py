@@ -90,7 +90,71 @@ def parse_args(argv=None):
     p.add_argument("--gt_path", default=None,
                    help="{split}_gt.json.gz dense gt locations for nDTW "
                         "(ref TASK.NDTW.GT_PATH)")
+    # ----- real frozen stack (ref ss_trainer_BEV.py:236-243, 262-275) -----
+    p.add_argument("--waypoint_ckpt", default=None,
+                   help="frozen waypoint-predictor checkpoint: torch file "
+                        "(the published data/wp_pred/check_cwp_bestdist_* "
+                        "format, ['predictor']['state_dict']), .npz, or "
+                        "orbax dir of a remapped tree")
+    p.add_argument("--ddppo_ckpt", default=None,
+                   help="frozen DDPPO point-nav depth ResNet50 checkpoint "
+                        "(torch gibson-2plus-resnet50.pth layout / remapped "
+                        "tree); requires --habitat_config (the synthetic env "
+                        "synthesises depth features directly)")
+    p.add_argument("--clip_ckpt", default=None,
+                   help="frozen CLIP-B/16 vision tower: HF model dir/name, "
+                        "torch state dict, or remapped tree; requires "
+                        "--habitat_config")
+    p.add_argument("--habitat_config", default=None,
+                   help="habitat config YAML — constructs the real "
+                        "HabitatContinuousEnv instead of the synthetic world "
+                        "(ref run.py --exp-config; requires habitat-sim/lab)")
+    p.add_argument("--habitat_split", default="train",
+                   help="dataset split for --habitat_config episode loading")
+    p.add_argument("--allow_random_frozen", action="store_true",
+                   help="explicitly allow a RANDOM-initialised frozen "
+                        "waypoint predictor (synthetic tests/smoke only — a "
+                        "real run without --waypoint_ckpt is meaningless)")
     return p.parse_args(argv)
+
+
+def build_frozen(args):
+    """Resolve the --waypoint_ckpt/--ddppo_ckpt/--clip_ckpt flags into
+    (wp_params, clip_encoder, depth_encoder). Guards the random-frozen
+    trap: without --waypoint_ckpt the waypoint predictor would be random
+    init (useless for any real run), so that path needs an explicit
+    --allow_random_frozen (ref loads the published ckpt unconditionally,
+    ss_trainer_BEV.py:236-243)."""
+    wp_params = None
+    if args.waypoint_ckpt:
+        from ..ce.frozen import load_waypoint_params
+
+        wp_params = load_waypoint_params(args.waypoint_ckpt)
+    elif not args.allow_random_frozen:
+        raise SystemExit(
+            "no --waypoint_ckpt: the frozen waypoint predictor would be "
+            "RANDOM-initialised. Pass the published checkpoint "
+            "(data/wp_pred/check_cwp_bestdist_hfov90) or opt in explicitly "
+            "with --allow_random_frozen (synthetic smoke runs only)."
+        )
+    clip_encoder = depth_encoder = None
+    if args.clip_ckpt or args.ddppo_ckpt:
+        if not args.habitat_config:
+            raise SystemExit(
+                "--clip_ckpt/--ddppo_ckpt configure the habitat sensor "
+                "stack and require --habitat_config (the synthetic env "
+                "synthesises features directly)"
+            )
+        if args.clip_ckpt:
+            from ..ce.frozen import load_clip_params
+            from ..precompute.pipeline import JaxClipEncoder
+
+            clip_encoder = JaxClipEncoder(load_clip_params(args.clip_ckpt))
+        if args.ddppo_ckpt:
+            from ..ce.frozen import JaxDepthEncoder, load_depth_params
+
+            depth_encoder = JaxDepthEncoder(load_depth_params(args.ddppo_ckpt))
+    return wp_params, clip_encoder, depth_encoder
 
 
 def main(argv=None):
@@ -130,8 +194,25 @@ def main(argv=None):
     mesh = make_mesh() if n_dev > 1 else None
     cfg.batch_size = cfg.batch_size * n_dev
 
+    wp_params, clip_encoder, depth_encoder = build_frozen(args)
+
     rng = np.random.default_rng(cfg.seed)
-    if args.data_path:
+    if args.habitat_config:
+        if args.num_env_workers > 0:
+            raise SystemExit(
+                "--habitat_config with --num_env_workers is not supported "
+                "yet: habitat env factories are not spawn-picklable here"
+            )
+        from ..ce.habitat_binding import make_habitat_env
+
+        env = make_habitat_env(
+            args.habitat_config, batch_size=cfg.batch_size,
+            data_path=args.data_path, split=args.habitat_split,
+            clip_encoder=clip_encoder, depth_encoder=depth_encoder,
+            grid_hw=cfg.shapes.grid_hw,
+        )
+        episodes = None
+    elif args.data_path:
         from ..ce.dataset import (apply_gt_paths, load_gt_paths,
                                   load_rxr_episodes, load_vlnce_episodes)
 
@@ -143,24 +224,26 @@ def main(argv=None):
             apply_gt_paths(episodes, load_gt_paths(args.gt_path))
     else:
         episodes = make_synthetic_ce_episodes(rng, n=args.n_episodes)
-    env_kwargs = dict(
-        grid_hw=cfg.shapes.grid_hw,
-        grid_feat_size=cfg.model.bev_grid_feat_size,
-        view_feat_size=cfg.model.image_feat_size,
-    )
-    if args.num_env_workers > 0:
-        from ..ce.env_pool import make_synthetic_pool
+    if episodes is not None:  # synthetic world (habitat env built above)
+        env_kwargs = dict(
+            grid_hw=cfg.shapes.grid_hw,
+            grid_feat_size=cfg.model.bev_grid_feat_size,
+            view_feat_size=cfg.model.image_feat_size,
+        )
+        if args.num_env_workers > 0:
+            from ..ce.env_pool import make_synthetic_pool
 
-        assert cfg.batch_size % args.num_env_workers == 0
-        env = make_synthetic_pool(
-            episodes, num_workers=args.num_env_workers,
-            slots_per_worker=cfg.batch_size // args.num_env_workers,
-            seed=cfg.seed, **env_kwargs,
-        )
-    else:
-        env = SyntheticContinuousEnv(
-            episodes, batch_size=cfg.batch_size, seed=cfg.seed, **env_kwargs,
-        )
+            assert cfg.batch_size % args.num_env_workers == 0
+            env = make_synthetic_pool(
+                episodes, num_workers=args.num_env_workers,
+                slots_per_worker=cfg.batch_size // args.num_env_workers,
+                seed=cfg.seed, **env_kwargs,
+            )
+        else:
+            env = SyntheticContinuousEnv(
+                episodes, batch_size=cfg.batch_size, seed=cfg.seed,
+                **env_kwargs,
+            )
     if args.ml_weight is not None:
         cfg.ml_weight = args.ml_weight
 
@@ -189,14 +272,15 @@ def main(argv=None):
                     "models.legacy.prevalent_to_tree instead"
                 )
             agent = PrevalentDaggerAgent(cfg, env, seed=cfg.seed)
-            agent.init_params()
+            agent.init_params(wp_params=wp_params)
         else:
             agent = CEAgent(
                 cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio,
                 loc_noise=args.loc_noise, ghost_aug=args.ghost_aug,
                 waypoint_aug=not args.no_waypoint_aug, mesh=mesh,
             )
-            agent.init_params(pretrained_params=pretrained)
+            agent.init_params(pretrained_params=pretrained,
+                              wp_params=wp_params)
         run_dagger(
             agent, store_dir, policy=args.policy,
             dagger_iters=args.dagger_iters, update_size=args.update_size,
@@ -209,7 +293,7 @@ def main(argv=None):
     agent = CEAgent(cfg, env, seed=cfg.seed, sample_ratio=args.sample_ratio,
                     loc_noise=args.loc_noise, ghost_aug=args.ghost_aug,
                     waypoint_aug=not args.no_waypoint_aug, mesh=mesh)
-    agent.init_params(pretrained_params=pretrained)
+    agent.init_params(pretrained_params=pretrained, wp_params=wp_params)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     logger = MetricLogger(cfg.output_dir)

@@ -90,9 +90,10 @@ def build_synthetic_db(cfg, seed=0, tmpdir="/tmp/bevbert_synth"):
     return TextPathData(
         annos, graphs, cands,
         view_db=H5FeatureDB(os.path.join(fts, "view_fts.hdf5")),
-        grid_db=H5FeatureDB(os.path.join(fts, "grid_fts.hdf5")),
+        grid_db=H5FeatureDB(os.path.join(fts, "grid_fts.hdf5"),
+                            dtype=np.float16),
         depth_db=H5FeatureDB(os.path.join(fts, "depth.hdf5")),
-        sem_db=H5FeatureDB(os.path.join(fts, "sem.hdf5")),
+        sem_db=H5FeatureDB(os.path.join(fts, "sem.hdf5"), dtype=np.uint8),
         image_feat_size=cfg.model.image_feat_size,
         max_txt_len=cfg.shapes.max_txt_len,
         bev_dim=cfg.model.bev_dim, bev_res=cfg.model.bev_res,
@@ -130,9 +131,10 @@ def build_real_db(cfg, data_root, dataset, split="train", traj_files=None):
     return TextPathData(
         annos, graphs, cands,
         view_db=H5FeatureDB(os.path.join(data_root, "view_fts.hdf5")),
-        grid_db=H5FeatureDB(os.path.join(data_root, "grid_fts.hdf5")),
+        grid_db=H5FeatureDB(os.path.join(data_root, "grid_fts.hdf5"),
+                            dtype=np.float16),
         depth_db=H5FeatureDB(os.path.join(data_root, "depth.hdf5")),
-        sem_db=H5FeatureDB(os.path.join(data_root, "sem.hdf5")),
+        sem_db=H5FeatureDB(os.path.join(data_root, "sem.hdf5"), dtype=np.uint8),
         image_feat_size=cfg.model.image_feat_size,
         obj_feat_size=cfg.model.obj_feat_size,
         obj_prob_size=cfg.model.obj_prob_size,

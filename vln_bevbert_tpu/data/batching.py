@@ -182,8 +182,11 @@ def make_pretrain_batch(
     gmap_pos_fts = np.zeros((B, N, A + 3), np.float32)
     gmap_pair_dists = np.zeros((B, N, N), np.float32)
     depths = np.zeros((B, shapes.num_views, shapes.grid_hw, shapes.grid_hw), np.float32)
+    # grid features ship in their source dtype (fp16 from disk — the device
+    # casts to bf16 in the splat; fp32 from synthetic/dict stores)
     grid_fts = np.zeros(
-        (B, shapes.num_points, model.bev_grid_feat_size), np.float32
+        (B, shapes.num_points, model.bev_grid_feat_size),
+        examples[0].grid_fts.dtype,
     )
     sem_labels = np.zeros((B, shapes.num_points), np.int32)
     T_c2w = np.zeros((B, shapes.num_views, 4, 4), np.float32)

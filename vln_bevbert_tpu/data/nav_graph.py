@@ -49,6 +49,28 @@ class NavGraph:
         self.distances, self.predecessors = dijkstra(
             graph, directed=False, return_predecessors=True
         )
+        self._hops: Optional[np.ndarray] = None
+
+    @property
+    def hops(self) -> np.ndarray:
+        """(n, n) step counts along the WEIGHTED shortest paths (equal to
+        ``len(path(a, b)) - 1``, the quantity the reference's
+        get_gmap_pos_fts divides by MAX_STEP — dataset.py:362-384). Computed
+        once, lazily, from the predecessor matrix: nodes in ascending
+        distance order always see their predecessor's count first."""
+        if self._hops is None:
+            n = len(self.node_ids)
+            hops = np.zeros((n, n), np.int32)
+            order = np.argsort(self.distances, axis=1)
+            for i in range(n):
+                pi = self.predecessors[i]
+                hi = hops[i]
+                for j in order[i]:
+                    p = pi[j]
+                    if p >= 0:
+                        hi[j] = hi[p] + 1
+            self._hops = hops
+        return self._hops
 
     def __len__(self) -> int:
         return len(self.node_ids)
@@ -75,7 +97,7 @@ class NavGraph:
         return [self.node_ids[k] for k in reversed(out)]
 
     def path_steps(self, a: str, b: str) -> int:
-        return len(self.path(a, b)) - 1
+        return int(self.hops[self.index[a], self.index[b]])
 
 
 def load_nav_graphs(connectivity_dir: str,

@@ -128,6 +128,24 @@ def rel_pos_features(a, b, base_heading: float = 0.0, base_elevation: float = 0.
     return heading - base_heading, elevation - base_elevation, xyz
 
 
+def rel_pos_features_batch(a, bs, base_heading: float = 0.0,
+                           base_elevation: float = 0.0):
+    """Vectorised rel_pos_features: point ``a`` to EACH row of ``bs``.
+
+    Returns (headings, elevations, distances) as (N,) float64 arrays with
+    identical math to the scalar version (the pretrain host pipeline calls
+    this once per node table instead of once per node)."""
+    a = np.asarray(a, dtype=np.float64)
+    bs = np.asarray(bs, dtype=np.float64).reshape(-1, 3)
+    d = bs - a[None, :3]
+    xy = np.maximum(np.hypot(d[:, 0], d[:, 1]), 1e-8)
+    xyz = np.maximum(np.linalg.norm(d, axis=1), 1e-8)
+    heading = np.arcsin(np.clip(d[:, 0] / xy, -1.0, 1.0))
+    heading = np.where(d[:, 1] < 0, math.pi - heading, heading)
+    elevation = np.arcsin(np.clip(d[:, 2] / xyz, -1.0, 1.0))
+    return heading - base_heading, elevation - base_elevation, xyz
+
+
 def normalize_angle(x):
     """Map radians into (-pi, pi]. Parity with common.py:130-135."""
     x = np.asarray(x, dtype=np.float64) % (2.0 * math.pi)

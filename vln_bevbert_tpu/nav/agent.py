@@ -1199,6 +1199,103 @@ def make_replay_block(agent: "GMapNavAgent", length: int):
     return block
 
 
+def make_rollout_block(agent: "GMapNavAgent", episodes: int):
+    """Compiled device-time envelope of the LIVE rollout's forward chain:
+    language once, then per step the panorama encoder -> node-feature
+    contraction over the accumulated pano-token history -> navigation scorer
+    — the three per-step programs rollout() dispatches (agent.py:773-846),
+    chained as one ``lax.scan`` per episode and scanned over ``episodes``
+    episodes so tunnel RPC latency cannot contaminate the measurement (same
+    rationale as make_replay_block). Host sim stepping / graph bookkeeping is
+    excluded by construction: this is the device-side rollout envelope
+    (ref envelope: scripts/ft_r2r.bash:22-62 DAgger rollouts).
+
+    The per-step token history is carried as a (B, T, P, D) buffer updated
+    with the step's pano tokens — the device analogue of the rollout's host
+    pano_store + _policy_node_embeds contraction.
+    """
+    import functools
+
+    model = agent.model
+    use_bev = agent.cfg.model.use_bev
+
+    def episode_fwd(params, rb):
+        T, B = rb["targets"].shape[0], rb["txt_ids"].shape[0]
+        txt_embeds = model.apply(
+            {"params": params}, "language",
+            {"txt_ids": rb["txt_ids"], "txt_masks": rb["txt_masks"]},
+        )
+
+        def body(carry, xs):
+            buf, acc = carry
+            pano_in = {
+                "view_fts": xs["view_fts"], "loc_fts": xs["loc_fts"],
+                "nav_types": xs["nav_types"], "view_lens": xs["view_lens"],
+            }
+            pano_embeds, pano_masks = model.apply(
+                {"params": params}, "panorama", pano_in
+            )
+            tok = (pano_embeds * pano_masks[..., None]).astype(buf.dtype)
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, tok[:, None], xs["step_idx"], axis=1
+            )
+            gmap_img = jnp.einsum(
+                "bnm,bmd->bnd", xs["gmap_agg"],
+                buf.reshape(B, -1, buf.shape[-1]),
+                preferred_element_type=jnp.float32,
+            )
+            nav_in = {
+                "txt_embeds": txt_embeds, "txt_masks": rb["txt_masks"],
+                "gmap_img_embeds": gmap_img,
+                "gmap_step_ids": xs["gmap_step_ids"],
+                "gmap_pos_fts": xs["gmap_pos_fts"],
+                "gmap_masks": xs["gmap_masks"],
+                "gmap_pair_dists": xs["gmap_pair_dists"],
+                "gmap_visited_masks": xs["gmap_visited_masks"],
+            }
+            if use_bev:
+                nav_in.update({
+                    "bev_fts": xs["bev_fts"], "bev_pos_fts": xs["bev_pos_fts"],
+                    "bev_masks": jnp.ones(xs["bev_fts"].shape[:2], bool),
+                    "bev_nav_masks": xs["bev_nav_masks"],
+                    "bev_cand_idxs": xs["bev_cand_idxs"],
+                    "local_masks": xs["local_masks"],
+                    "fuse_map": xs["fuse_map"],
+                })
+            outs = model.apply({"params": params}, "navigation", nav_in)
+            return (buf, acc + jnp.sum(outs["fused_logits" if use_bev
+                                            else "global_logits"])), None
+
+        xs_keys = [
+            "view_fts", "loc_fts", "nav_types", "view_lens",
+            "gmap_agg", "gmap_step_ids", "gmap_pos_fts", "gmap_masks",
+            "gmap_pair_dists", "gmap_visited_masks", "step_idx",
+        ]
+        if use_bev:
+            xs_keys += ["bev_fts", "bev_pos_fts", "bev_nav_masks",
+                        "bev_cand_idxs", "local_masks", "fuse_map"]
+        P = rb["view_fts"].shape[2]
+        D = agent.cfg.model.hidden_size
+        buf0 = jnp.zeros((B, T, P, D), jnp.float32)
+        (_, acc), _ = jax.lax.scan(
+            body, (buf0, jnp.zeros((), jnp.float32)),
+            {k: rb[k] for k in xs_keys},
+        )
+        return acc
+
+    @functools.partial(jax.jit, static_argnums=())
+    def block(params, rb):
+        def ep(acc, _):
+            return acc + episode_fwd(params, rb), None
+
+        acc, _ = jax.lax.scan(
+            ep, jnp.zeros((), jnp.float32), None, length=episodes
+        )
+        return acc
+
+    return block
+
+
 class _EnvStub:
     """Just enough env surface for init_params/learn_from_bundle."""
 

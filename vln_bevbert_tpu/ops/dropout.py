@@ -211,7 +211,12 @@ _dropout_sr.defvjp(_dropout_sr_fwd, _dropout_sr_bwd)
 
 
 def fused_dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
-    """Apply dropout with the fused TPU kernel (jax.random fallback off-TPU).
+    """Dropout; the plain jax.random path is the default on ALL backends.
+
+    The fused Pallas kernel is opt-in via VLN_BEVBERT_FUSED_DROPOUT=1 (and
+    TPU-only): it measured a 6.4% end-to-end regression at the flagship
+    config (module docstring), so XLA's fused RBG/compare/select is what
+    ships.
 
     ``rng`` is a standard JAX PRNG key (unique per site/step, as handed out
     by flax's make_rng); per-example seeds derive from it with the normal
@@ -230,7 +235,9 @@ import flax.linen as nn  # noqa: E402  (kept after the kernel machinery)
 
 
 class Dropout(nn.Module):
-    """Drop-in replacement for nn.Dropout using the fused TPU kernel.
+    """Drop-in replacement for nn.Dropout routed through fused_dropout
+    (jax.random by default; the Pallas kernel only when
+    VLN_BEVBERT_FUSED_DROPOUT=1 opts it in — see module docstring).
 
     Same constructor/call surface as the nn.Dropout subset this codebase
     uses (positional rate, ``deterministic`` kwarg, "dropout" rng
