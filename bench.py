@@ -268,6 +268,78 @@ def _measure_finetune() -> dict:
     return out
 
 
+def _measure_e2e() -> dict:
+    """End-to-end SYSTEM throughput: the production blocked train loop
+    (pretrain/trainer.py:_train_blocked) with the real host loader (prefetch
+    thread) building flagship batches, stacking task blocks, shipping them
+    host->device, and running the compiled scan on the chip. This is the
+    number VERDICT r3 said the headline cannot be read as: device samples/s
+    times pre-staged batches; this times the whole pipe.
+
+    Also measures host->device bandwidth with one big timed device_put: on
+    the tunnelled dev backend the e2e loop is transfer-bound (a flagship
+    block ships ~58 MB/batch over the control link), which the h2d number
+    makes legible — on a PCIe-local TPU VM the same loop is loader/device
+    bound instead."""
+    import tempfile
+
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from loader_bench import build_world
+
+    from vln_bevbert_tpu.data.loader import PretrainLoader
+    from vln_bevbert_tpu.pretrain.trainer import PretrainTrainer
+
+    # host->device bandwidth probe: one 64 MB transfer, timed by readback
+    blob = np.zeros((32, 1024, 1024), np.float16)
+    x = jax.device_put(blob)  # warm the path
+    float(jnp_sum_readback(x))
+    t0 = time.time()
+    x = jax.device_put(blob)
+    float(jnp_sum_readback(x))
+    h2d_gbps = blob.nbytes / (time.time() - t0) / 1e9
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg, nav_db = build_world(tmp)
+        # shipped defaults: task_block_size=8, block_unroll=5 — the e2e
+        # number measures the production loop as configured
+        cfg.valid_steps = 0
+        cfg.log_steps = 10_000
+        cfg.output_dir = tmp
+        loader = PretrainLoader(nav_db, cfg, seed=0, prefetch=4)
+        trainer = PretrainTrainer(cfg, loader, output_dir=tmp)
+
+        # warmup: smallest multiple of task_block_size whose deterministic
+        # schedule covers every task (compiles each (task, k=15) program)
+        k = cfg.task_block_size
+        seen, blocks = set(), 0
+        while len(seen) < len(cfg.tasks) and blocks < 64:
+            seen.add(loader.meta.task_for_step(blocks * k))
+            blocks += 1
+        warm_steps = blocks * k
+        t0 = time.time()
+        trainer.train(num_steps=warm_steps)
+        _log(f"e2e warmup {warm_steps} steps in {time.time() - t0:.0f}s")
+
+        steps = warm_steps + 10 * k
+        t0 = time.time()
+        trainer.train(num_steps=steps)
+        dt = time.time() - t0
+    sps = (steps - warm_steps) * loader.global_batch_size / dt
+    _log(f"e2e {sps:.1f} samples/s over {steps - warm_steps} steps "
+         f"({dt:.1f}s), h2d {h2d_gbps:.2f} GB/s")
+    return {"samples_per_sec": sps, "h2d_gbps": h2d_gbps}
+
+
+def jnp_sum_readback(x):
+    """Force a device round-trip (block_until_ready lies through the tunnel)."""
+    import jax.numpy as jnp
+
+    return jnp.sum(x.astype(jnp.float32))
+
+
 def _measure_loader() -> dict:
     """Host pipeline: samples/s of PretrainLoader.build_batch producing
     flagship batches on a synthetic MP3D-scale world (benchmarks/
@@ -326,6 +398,17 @@ def main():
             loader = _measure_loader()
         except Exception as e:  # secondary metric: never sink the artifact
             _log(f"loader bench skipped after errors: "
+                 f"{type(e).__name__}: {str(e).splitlines()[0][:200]}")
+
+    e2e = None
+    # BENCH_SKIP_LOADER implies no e2e either: both are host-pipeline
+    # measurements (the dtype-knob probes set it to isolate the device step)
+    if (os.environ.get("BENCH_SKIP_E2E") != "1"
+            and os.environ.get("BENCH_SKIP_LOADER") != "1"):
+        try:
+            e2e = _measure_e2e()
+        except Exception as e:  # secondary metric: never sink the artifact
+            _log(f"e2e bench skipped after errors: "
                  f"{type(e).__name__}: {str(e).splitlines()[0][:200]}")
 
     samples_per_sec = pre["samples_per_sec"]
@@ -393,6 +476,19 @@ def main():
                                        "cores covers the device rate",
                     }
                     if loader is not None else {}
+                ),
+                **(
+                    {
+                        "e2e_samples_per_sec": round(e2e["samples_per_sec"], 2),
+                        "h2d_gbps": round(e2e["h2d_gbps"], 3),
+                        "e2e_note": "full system: host loader (prefetch "
+                                    "thread) -> stacked task blocks -> "
+                                    "host-to-device -> compiled scan on "
+                                    "chip; transfer-bound when h2d_gbps x "
+                                    "per-sample bytes < device rate (the "
+                                    "tunnelled dev backend case)",
+                    }
+                    if e2e is not None else {}
                 ),
                 **(
                     {"per_step_dispatch_samples_per_sec": round(pre["per_step_dispatch"], 2)}

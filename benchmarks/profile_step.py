@@ -34,7 +34,11 @@ def main(out_dir: str = "/tmp/bevbert_trace"):
         rng, cfg.train_batch_size, cfg.shapes, cfg.model, raw_bev=True
     )
     model, projector, state = init_pretrain_state(cfg, batch)
-    block = make_pretrain_block_step(model, projector, None)
+    # production unroll (bench.py keys it the same way): profile the program
+    # that the headline number actually runs
+    unroll = 5 if jax.default_backend() == "tpu" else 1
+    unroll = int(os.environ.get("BENCH_UNROLL", unroll))
+    block = make_pretrain_block_step(model, projector, None, unroll=unroll)
     batch = {k: jax.device_put(v) for k, v in batch.items()}
     key = train_key(0)
 

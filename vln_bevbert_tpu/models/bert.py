@@ -92,7 +92,7 @@ class Attention(nn.Module):
         if bias is not None:
             scores = scores + bias.astype(_dt(cfg))
         probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(_dt(cfg))
-        probs = Dropout(cfg.attention_probs_dropout_prob)(
+        probs = Dropout(cfg.attention_probs_dropout_prob, site="attn_probs")(
             probs, deterministic=deterministic
         )
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,

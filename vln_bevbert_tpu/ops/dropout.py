@@ -56,13 +56,30 @@ from jax.experimental.pallas import tpu as pltpu
 _BLOCK_BUDGET_BYTES = 6 * 1024 * 1024
 
 
-def _on_tpu() -> bool:
-    # Default OFF: measured 6.4% slower than XLA's fused dropout at the
-    # flagship config (see module docstring). VLN_BEVBERT_FUSED_DROPOUT=1
-    # opts the kernel in for re-measurement / fusion-barrier-adjacent sites.
-    if os.environ.get("VLN_BEVBERT_FUSED_DROPOUT", "0") != "1":
-        return False
-    return jax.default_backend() == "tpu"
+def _use_kernel(site: str) -> bool:
+    """Route ``site`` through the Pallas kernel?
+
+    All-sites routing measured a 6.4% end-to-end REGRESSION (module
+    docstring) and stays opt-in via VLN_BEVBERT_FUSED_DROPOUT=1. The
+    ``attn_probs`` site is different: its (B, H, 441, 441) masks are where
+    the XLA path's costs concentrate — the timeline
+    (benchmarks/TRACE_SUMMARY.md) shows the RBG bits tensors relayout-copied
+    (data formatting, ~11% of step) because the saved-mask residual wants the
+    backward matmul's transposed layout. The seed-only-residual kernel
+    deletes both the copy and the residual; VLN_BEVBERT_FUSED_ATTN_DROPOUT=1
+    opts in.
+
+    MEASURED (v5e, flagship pretrain, 2026-08-19): attn-probs-only routing
+    is ALSO a regression — 429.7 samples/s (MFU 0.302) vs 453.4 baseline
+    (−5.2%). The pallas_call fusion barrier between softmax and the PV
+    matmul costs more than the relayout copies it deletes. Default stays
+    off; both knobs remain as the measurement record."""
+    if os.environ.get("VLN_BEVBERT_FUSED_DROPOUT", "0") == "1":
+        return jax.default_backend() == "tpu"
+    if (site == "attn_probs"
+            and os.environ.get("VLN_BEVBERT_FUSED_ATTN_DROPOUT", "0") == "1"):
+        return jax.default_backend() == "tpu"
+    return False
 
 
 def _grid_split(shape: Sequence[int], itemsize: int):
@@ -210,13 +227,15 @@ def _dropout_sr_bwd(rate: float, seeds, dy):
 _dropout_sr.defvjp(_dropout_sr_fwd, _dropout_sr_bwd)
 
 
-def fused_dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+def fused_dropout(x: jax.Array, rate: float, rng: jax.Array,
+                  site: str = "generic") -> jax.Array:
     """Dropout; the plain jax.random path is the default on ALL backends.
 
-    The fused Pallas kernel is opt-in via VLN_BEVBERT_FUSED_DROPOUT=1 (and
-    TPU-only): it measured a 6.4% end-to-end regression at the flagship
-    config (module docstring), so XLA's fused RBG/compare/select is what
-    ships.
+    The fused Pallas kernel is opt-in per site (see ``_use_kernel``):
+    VLN_BEVBERT_FUSED_DROPOUT=1 routes every site (measured 6.4% slower
+    end-to-end — module docstring); VLN_BEVBERT_FUSED_ATTN_DROPOUT=1 routes
+    only ``site="attn_probs"`` (the big (B,H,Q,K) masks whose relayout +
+    residual traffic the timeline blames — TRACE_SUMMARY.md).
 
     ``rng`` is a standard JAX PRNG key (unique per site/step, as handed out
     by flax's make_rng); per-example seeds derive from it with the normal
@@ -224,7 +243,7 @@ def fused_dropout(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
     """
     if rate <= 0.0:
         return x
-    if not _on_tpu() or x.ndim < 2:
+    if not _use_kernel(site) or x.ndim < 2:
         keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
         return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
     seeds = jax.random.bits(rng, (x.shape[0],), jnp.uint32)
@@ -246,9 +265,12 @@ class Dropout(nn.Module):
 
     rate: float
     rng_collection: str = "dropout"
+    site: str = "generic"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         if deterministic or self.rate == 0.0:
             return x
-        return fused_dropout(x, self.rate, self.make_rng(self.rng_collection))
+        return fused_dropout(
+            x, self.rate, self.make_rng(self.rng_collection), site=self.site
+        )
