@@ -39,6 +39,10 @@ CONFIGS = {
         "BENCH_NU_DTYPE": "bfloat16",
         "BENCH_GRAD_DTYPE": "bfloat16",
     },
+    "rematdots": {"VLN_BEVBERT_REMAT_ATTN": "dots"},
+    "rematfull": {"VLN_BEVBERT_REMAT_ATTN": "full"},
+    "b64rematdots": {"BENCH_BATCH": "64", "VLN_BEVBERT_REMAT_ATTN": "dots"},
+    "b128rematfull": {"BENCH_BATCH": "128", "VLN_BEVBERT_REMAT_ATTN": "full"},
 }
 
 

@@ -186,6 +186,7 @@ def test_missing_file_lists_candidates(tmp_path):
     assert "R2R_train_enc.json" in str(e.value)
 
 
+@pytest.mark.slow
 def test_finetune_three_split_reference_format(tmp_path):
     """End-to-end: a data_root holding verbatim reference-format
     R2R_%s_enc.json files drives fine-tune unconverted, and every present
@@ -336,6 +337,7 @@ def test_finetune_submit_split_dumps_predictions(tmp_path):
     assert not any(k.startswith("test/") for k in keys)
 
 
+@pytest.mark.slow
 def test_pretrain_traj_file_lists(tmp_path):
     """--train_files consumes explicit trajectory-file lists like the
     reference's data_cfg.train_traj_files (train_r2r.py:164-173)."""

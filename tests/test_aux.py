@@ -48,6 +48,7 @@ def test_precompute_pipeline(tmp_path):
         assert f["scanA_vp0"].shape == (3, 4, 4)
 
 
+@pytest.mark.slow
 def test_precompute_reference_dump_products(tmp_path):
     """The reference's two standalone dump products: raw 36-view image dbs
     (save_habitat_img.py layout — BGR uint8 / float32 depth + geometry
@@ -172,6 +173,7 @@ def test_depth_embedding_changes_output():
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_trainer_auto_resume(tmp_path):
     from vln_bevbert_tpu.configs import (
         ModelConfig as MC, OptimConfig, PretrainConfig, ShapeConfig,
@@ -237,6 +239,7 @@ def test_multilabel_metrics():
     assert "auc/a" in rep
 
 
+@pytest.mark.slow
 def test_sem_auc_in_validation(tmp_path):
     """Trainer validation reports macro AUC for semantic tasks."""
     from vln_bevbert_tpu.configs import (

@@ -183,6 +183,7 @@ def test_ce_env_determinism(ce_world):
     assert not np.array_equal(f1, obs3[0]["rgb"])
 
 
+@pytest.mark.slow
 def test_ce_teacher_rollout_learns(ce_world):
     env, agent = ce_world
     trajs, loss = agent.rollout(feedback="teacher", train=True)

@@ -70,6 +70,7 @@ def test_eval_rollout_through_control(ce_ctrl_world):
     assert all(np.isfinite(v) for v in metrics.values())
 
 
+@pytest.mark.slow
 def test_train_rollout_still_teleports(ce_ctrl_world):
     env, agent = ce_ctrl_world
     _, loss = agent.rollout(feedback="teacher", train=True)
@@ -120,6 +121,7 @@ def test_evaluate_checkpoint_dir(ce_ctrl_world, tmp_path):
     assert again.keys() == results.keys()
 
 
+@pytest.mark.slow
 def test_ce_cli_with_real_format_episodes(tmp_path):
     """cli.ce_train --data_path consumes a release-format json.gz and runs
     eval over it (the dataset-loader -> env -> agent path)."""

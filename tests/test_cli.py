@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # every test drives a full CLI run end-to-end (smoke tier: pytest -m 'not slow')
+
 TINY_MODEL = {
     "vocab_size": 30522, "hidden_size": 32, "num_attention_heads": 2,
     "intermediate_size": 64, "num_l_layers": 1, "num_pano_layers": 1,

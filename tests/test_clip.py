@@ -13,6 +13,7 @@ import jax
 from vln_bevbert_tpu.models.clip import ClipVisionTower, hf_clip_to_tree, preprocess
 
 
+@pytest.mark.slow
 def test_clip_forward_parity():
     from transformers import CLIPVisionConfig, CLIPVisionModel
 

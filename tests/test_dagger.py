@@ -5,6 +5,8 @@ dagger_trainer.py + recollection_dataset.py)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # every test runs a collect->train loop (smoke tier: pytest -m 'not slow')
+
 from tests.test_ce import SHAPES, TINY, ce_world  # noqa: F401
 from tests.test_nav import nav_world  # noqa: F401
 from vln_bevbert_tpu.ce.dagger import (

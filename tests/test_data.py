@@ -154,6 +154,7 @@ def test_meta_loader_deterministic_and_mixed():
     assert counts["sap"] > counts["masksem"]
 
 
+@pytest.mark.slow
 def test_loader_to_train_step(world):
     _, _, nav_db = world
     cfg = PretrainConfig(

@@ -1,4 +1,5 @@
 """DDPPO depth-encoder architectural tests (shape contract + determinism).
+import pytest
 
 Remap parity against a torch replica of habitat's ResNetEncoder is in
 tests/test_frozen_remap.py.
@@ -10,6 +11,7 @@ import numpy as np
 from vln_bevbert_tpu.models.depth_encoder import DdppoDepthEncoder
 
 
+@pytest.mark.slow
 def test_depth_encoder_output_shape():
     enc = DdppoDepthEncoder()
     # VLN-CE depth sensor frames are 256x256
@@ -23,6 +25,7 @@ def test_depth_encoder_output_shape():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_depth_encoder_tiny_variant():
     enc = DdppoDepthEncoder(baseplanes=8, layers=(1, 1),
                             after_compression_flat_size=64)

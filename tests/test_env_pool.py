@@ -114,6 +114,7 @@ def test_pool_determinism_vs_inprocess():
         p.close()
 
 
+@pytest.mark.slow
 def test_ce_rollout_through_pool():
     from vln_bevbert_tpu.ce.agent import CEAgent
 

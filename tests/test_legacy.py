@@ -67,6 +67,7 @@ def test_etp_param_tree_has_no_bev_branch(etp_world):
     assert "sap_fuse_linear" not in agent.params
 
 
+@pytest.mark.slow
 def test_etp_rollout_and_replay(etp_world):
     env, agent = etp_world
     trajs, loss = agent.rollout(feedback="teacher", train=True)

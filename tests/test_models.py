@@ -123,6 +123,7 @@ def test_padding_invariance(pretrain_model_and_params, task):
     np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_dropout_rngs_change_loss(pretrain_model_and_params):
     model, params, batch = pretrain_model_and_params
     l0, _ = model.apply(
@@ -134,6 +135,34 @@ def test_dropout_rngs_change_loss(pretrain_model_and_params):
         rngs={"dropout": jax.random.key(2)},
     )
     assert float(l0) != float(l1)
+
+
+@pytest.mark.parametrize("mode", ["dots", "full"])
+@pytest.mark.slow
+def test_attn_remat_equivalence(pretrain_model_and_params, mode, monkeypatch):
+    """VLN_BEVBERT_REMAT_ATTN must be numerics-transparent: loss and grads
+    of a dropout-active step match the un-remat'd path (nn.remat replays the
+    lifted dropout rng exactly, so the recomputed masks are identical; only
+    fusion-order float noise is tolerated)."""
+    model, params, batch = pretrain_model_and_params
+
+    def loss_and_grads():
+        def loss_fn(p):
+            loss, _ = model.apply(p, batch, "sap", deterministic=False,
+                                  rngs={"dropout": jax.random.key(3)})
+            return loss
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    monkeypatch.delenv("VLN_BEVBERT_REMAT_ATTN", raising=False)
+    base_l, base_g = loss_and_grads()
+    monkeypatch.setenv("VLN_BEVBERT_REMAT_ATTN", mode)
+    l, g = loss_and_grads()
+    np.testing.assert_allclose(float(l), float(base_l), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        base_g, g,
+    )
 
 
 def test_nav_model_modes():

@@ -100,6 +100,7 @@ def test_obj_obs(obj_world):
         assert ob["gt_obj_id"] is not None
 
 
+@pytest.mark.slow
 def test_obj_rollout_and_learn(obj_world):
     env, agent, _ = obj_world
     trajs, loss = agent.rollout(feedback="teacher", train=True)

@@ -80,6 +80,7 @@ def test_reverie_example_structure(reverie_db):
     assert ex2.global_act_label != 0 or ex2.local_act_label != 0
 
 
+@pytest.mark.slow
 def test_reverie_pretrain_tasks_run(reverie_db):
     import jax
 

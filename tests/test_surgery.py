@@ -94,6 +94,7 @@ def test_transfer_keeps_fresh_on_mismatch():
     np.testing.assert_array_equal(out["b"], np.ones(3))             # missing
 
 
+@pytest.mark.slow
 def test_pretrain_to_nav_transfer_is_identity_on_bert():
     import jax
 

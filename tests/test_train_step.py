@@ -42,6 +42,7 @@ def make_batch(batch=8, seed=0):
     return b
 
 
+@pytest.mark.slow
 def test_eight_device_dp_step_runs_all_tasks():
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     cfg = tiny_cfg()
@@ -61,6 +62,7 @@ def test_eight_device_dp_step_runs_all_tasks():
     assert int(state.step) == len(cfg.tasks)
 
 
+@pytest.mark.slow
 def test_dp_equals_single_device():
     """The sharded step must produce the same update as a single-device run
     (the gradient psum is a mean over an identical global batch)."""
@@ -85,6 +87,7 @@ def test_dp_equals_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_finetune_replay_dp_equals_single_device():
     """The mesh-sharded fine-tune replay update (learn_from_bundle) must match
     the single-device update on an identical global batch — the TPU analogue
@@ -173,6 +176,7 @@ def test_dp_equals_single_device_hidden768():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps():
     cfg = tiny_cfg(learning_rate=1e-3)
     batch = make_batch(8, seed=5)
@@ -186,6 +190,7 @@ def test_loss_decreases_over_steps():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_block_step_matches_per_step_sequence():
     """make_pretrain_block_step (lax.scan over the step body) must produce
     the same state as N individual dispatches — both with one re-fed batch

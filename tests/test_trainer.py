@@ -58,6 +58,7 @@ def loaders(tmp_path_factory):
     return cfg, train_loader, val_loader
 
 
+@pytest.mark.slow
 def test_train_validate_checkpoint_roundtrip(loaders, tmp_path):
     cfg, train_loader, val_loader = loaders
     trainer = PretrainTrainer(
@@ -83,6 +84,7 @@ def test_train_validate_checkpoint_roundtrip(loaders, tmp_path):
     assert (tmp_path / "run" / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_blocked_training_matches_per_step(loaders, tmp_path):
     """task_block_size>1 routes training through stacked lax.scan block
     dispatches; the resulting state must equal per-step training on the

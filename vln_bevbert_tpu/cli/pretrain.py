@@ -18,6 +18,8 @@ import argparse
 import json
 import os
 
+import numpy as np
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)

@@ -16,13 +16,33 @@ and layer-norm statistics are computed in float32.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.dropout import Dropout
+from ..ops.dropout import Dropout, fused_dropout
 from ..configs import ModelConfig
+
+
+def _attn_remat_mode() -> str:
+    """VLN_BEVBERT_REMAT_ATTN: '' (off, default) | 'dots' | 'full'.
+
+    Rematerialisation knob for the attention primitive, aimed at the
+    timeline's #2 sink (benchmarks/TRACE_SUMMARY.md): the saved-for-backward
+    attention-dropout masks whose u32[B,H,441,441] rng bits get relayout-
+    copied (~11% of the step) so the residual matches the backward matmul's
+    layout. Under remat the backward RE-DRAWS the bits in the layout its
+    consumer wants — no residual, no relayout — at the cost of recomputing
+    part of the score/softmax/dropout/context region (Attention's ``core``):
+    'dots' keeps the einsum outputs saved (jax.checkpoint_policies.
+    dots_saveable — only softmax + mask are recomputed), 'full' saves
+    nothing past q/k/v (max HBM savings; re-runs both big matmuls in bwd).
+    Read at trace time, like the fused-dropout knobs (ops/dropout.py).
+    """
+    return os.environ.get("VLN_BEVBERT_REMAT_ATTN", "")
 
 
 def _dt(cfg: ModelConfig):
@@ -58,7 +78,13 @@ def embed(cfg: ModelConfig, num: int, name: Optional[str] = None) -> nn.Embed:
 
 class Attention(nn.Module):
     """Multi-head attention with additive bias; covers BertSelfAttention
-    (vilmodel.py:79-141) and BertOutAttention/cross (vilmodel.py:301-352)."""
+    (vilmodel.py:79-141) and BertOutAttention/cross (vilmodel.py:301-352).
+
+    The score/softmax/dropout/context region is a pure inner function of
+    (q, k, v, bias, dropout key) so VLN_BEVBERT_REMAT_ATTN can wrap it in
+    jax.checkpoint without touching the module's parameter scope — the
+    dropout key is drawn OUTSIDE the region and passed in, so the remat'd
+    backward re-draws identical masks from the same key."""
 
     cfg: ModelConfig
 
@@ -80,24 +106,42 @@ class Attention(nn.Module):
             kv = dense(cfg, 2 * cfg.hidden_size, name="kv")(kv_in)
             k, v = (heads(t) for t in jnp.split(kv, 2, axis=-1))
 
-        # scores materialise in the activation dtype (bf16): the (B,H,Q,K)
-        # tensor is the attention bandwidth hot spot (441-token BEV branch);
-        # MXU still accumulates in f32, softmax statistics are computed in
-        # f32 after an upcast XLA fuses into the reduction passes. The
-        # reference trains under AMP fp16 where these scores are half
-        # precision too. Measured: -16% per 441-token attention on v5e.
         scale = 1.0 / math.sqrt(d)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q * jnp.asarray(scale, q.dtype),
-                            k, preferred_element_type=_dt(cfg))
-        if bias is not None:
-            scores = scores + bias.astype(_dt(cfg))
-        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(_dt(cfg))
-        probs = Dropout(cfg.attention_probs_dropout_prob, site="attn_probs")(
-            probs, deterministic=deterministic
-        )
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32).astype(_dt(cfg))
-        return ctx.reshape(*ctx.shape[:-2], h * d)
+        rate = cfg.attention_probs_dropout_prob
+        drop_key = (self.make_rng("dropout")
+                    if (not deterministic and rate > 0.0) else None)
+
+        def core(q, k, v, bias, drop_key):
+            # scores materialise in the activation dtype (bf16): the (B,H,Q,K)
+            # tensor is the attention bandwidth hot spot (441-token BEV
+            # branch); MXU still accumulates in f32, softmax statistics are
+            # computed in f32 after an upcast XLA fuses into the reduction
+            # passes. The reference trains under AMP fp16 where these scores
+            # are half precision too. Measured: -16% per 441-token attention.
+            scores = jnp.einsum("bqhd,bkhd->bhqk",
+                                q * jnp.asarray(scale, q.dtype), k,
+                                preferred_element_type=_dt(cfg))
+            if bias is not None:
+                scores = scores + bias.astype(_dt(cfg))
+            probs = nn.softmax(scores.astype(jnp.float32), axis=-1)
+            probs = probs.astype(_dt(cfg))
+            if drop_key is not None:
+                probs = fused_dropout(probs, rate, drop_key, site="attn_probs")
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32).astype(_dt(cfg))
+            return ctx.reshape(*ctx.shape[:-2], h * d)
+
+        mode = _attn_remat_mode()
+        if mode and not deterministic:  # remat only pays where a bwd exists
+            policy = (jax.checkpoint_policies.dots_saveable
+                      if mode == "dots" else None)
+            # prevent_cse=False: every gradient path here executes inside a
+            # lax.scan body (pretrain block step, ft replay block), where the
+            # fwd and the recompute live in separate while-loop bodies that
+            # XLA cannot CSE — the optimization-barrier overhead
+            # prevent_cse=True inserts buys nothing
+            core = jax.checkpoint(core, policy=policy, prevent_cse=False)
+        return core(q, k, v, bias, drop_key)
 
 
 class AttentionBlock(nn.Module):
@@ -109,7 +153,8 @@ class AttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, q_in, kv_in, bias=None, *, deterministic: bool = True):
         cfg = self.cfg
-        ctx = Attention(cfg, name="att")(q_in, kv_in, bias, deterministic=deterministic)
+        ctx = Attention(cfg, name="att")(q_in, kv_in, bias,
+                                         deterministic=deterministic)
         out = dense(cfg, cfg.hidden_size, name="out_dense")(ctx)
         out = Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         out = layer_norm(cfg, name="out_ln")(out + q_in).astype(_dt(cfg))
