@@ -25,7 +25,17 @@ contaminate it (nav/agent.py:make_replay_block).
 Transient tunnel/backend errors (e.g. FAILED_PRECONDITION mid-readback, the
 BENCH_r02 failure mode) are retried up to 3x with fresh state.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
+Timeout-proofing (the BENCH_r04 failure mode: a cold compile cache on a
+fresh machine burned >20 min of warmups and the driver killed the process
+before any JSON was printed): the headline JSON line is printed IMMEDIATELY
+after the pretrain measurement succeeds, BEFORE the secondary ft/loader/e2e
+phases. A wall-clock budget (BENCH_BUDGET_S, default 2400 s) gates each
+secondary phase — phases that would start past the budget are skipped with
+a logged reason. On full completion a second, enriched JSON line (same
+headline fields plus the secondary metrics) is printed last. Either parse
+discipline works: a driver taking the LAST valid JSON line gets the
+enriched record (or, if killed mid-phase, the already-flushed headline); a
+driver taking the FIRST gets the headline.
 """
 
 from __future__ import annotations
@@ -377,15 +387,57 @@ def _measure_loader() -> dict:
             "cold_samples_per_sec_per_core": cold, "cores": cores}
 
 
+def _headline_record(pre: dict) -> dict:
+    """The headline JSON record (driver contract) from the pretrain phase."""
+    samples_per_sec = pre["samples_per_sec"]
+    flops_per_sample = pre["flops_per_sample"]
+    ref_a100_samples_per_sec = (
+        A100_BF16_PEAK * ASSUMED_REF_MFU / max(flops_per_sample, 1.0)
+    )
+    v5e8_total = samples_per_sec * 8
+    ref_4xa100_total = ref_a100_samples_per_sec * 4
+    # measured model-FLOPs utilisation of this chip: XLA cost-analysis FLOPs
+    # of the compiled steps actually executed, over wall time
+    mfu = samples_per_sec * flops_per_sample / V5E_BF16_PEAK
+    return {
+        "metric": "pretrain_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s/chip",
+        "mfu": round(mfu, 4),
+        "vs_baseline": round(v5e8_total / ref_4xa100_total, 3),
+        "vs_baseline_note": "modelled: v5e-8 (8x this chip) vs 4xA100 "
+                            "at ASSUMED 20% MFU; measured signal is mfu",
+        "flops_per_sample": round(flops_per_sample / 1e9, 2),
+        "flops_unit": "GFLOP (XLA cost analysis, fwd+bwd+opt)",
+    }
+
+
 def main():
     from vln_bevbert_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache("/tmp/jax_cache")
 
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+
+    def over_budget(phase: str) -> bool:
+        spent = time.time() - t_start
+        if spent > budget_s:
+            _log(f"{phase} skipped: wall-clock budget exhausted "
+                 f"({spent:.0f}s > BENCH_BUDGET_S={budget_s:.0f}s); the "
+                 f"headline JSON is already printed")
+            return True
+        return False
+
     pre = _with_retry("pretrain", _measure_pretrain)
 
+    # flush the headline the moment it exists (BENCH_r04 lost the round's
+    # artifact by printing only after every secondary phase; see module doc)
+    headline = _headline_record(pre)
+    print(json.dumps(headline), flush=True)
+
     ft = None
-    if os.environ.get("BENCH_SKIP_FT") != "1":
+    if os.environ.get("BENCH_SKIP_FT") != "1" and not over_budget("finetune"):
         try:
             ft = _with_retry("finetune", _measure_finetune, attempts=2)
         except Exception as e:  # secondary metric: never sink the artifact
@@ -393,7 +445,7 @@ def main():
                  f"{type(e).__name__}: {str(e).splitlines()[0][:200]}")
 
     loader = None
-    if os.environ.get("BENCH_SKIP_LOADER") != "1":
+    if os.environ.get("BENCH_SKIP_LOADER") != "1" and not over_budget("loader"):
         try:
             loader = _measure_loader()
         except Exception as e:  # secondary metric: never sink the artifact
@@ -404,37 +456,18 @@ def main():
     # BENCH_SKIP_LOADER implies no e2e either: both are host-pipeline
     # measurements (the dtype-knob probes set it to isolate the device step)
     if (os.environ.get("BENCH_SKIP_E2E") != "1"
-            and os.environ.get("BENCH_SKIP_LOADER") != "1"):
+            and os.environ.get("BENCH_SKIP_LOADER") != "1"
+            and not over_budget("e2e")):
         try:
             e2e = _measure_e2e()
         except Exception as e:  # secondary metric: never sink the artifact
             _log(f"e2e bench skipped after errors: "
                  f"{type(e).__name__}: {str(e).splitlines()[0][:200]}")
 
-    samples_per_sec = pre["samples_per_sec"]
-    flops_per_sample = pre["flops_per_sample"]
-    ref_a100_samples_per_sec = (
-        A100_BF16_PEAK * ASSUMED_REF_MFU / max(flops_per_sample, 1.0)
-    )
-    v5e8_total = samples_per_sec * 8
-    ref_4xa100_total = ref_a100_samples_per_sec * 4
-
-    # measured model-FLOPs utilisation of this chip: XLA cost-analysis FLOPs
-    # of the compiled steps actually executed, over wall time
-    mfu = samples_per_sec * flops_per_sample / V5E_BF16_PEAK
-
     print(
         json.dumps(
             {
-                "metric": "pretrain_samples_per_sec_per_chip",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/s/chip",
-                "mfu": round(mfu, 4),
-                "vs_baseline": round(v5e8_total / ref_4xa100_total, 3),
-                "vs_baseline_note": "modelled: v5e-8 (8x this chip) vs 4xA100 "
-                                    "at ASSUMED 20% MFU; measured signal is mfu",
-                "flops_per_sample": round(flops_per_sample / 1e9, 2),
-                "flops_unit": "GFLOP (XLA cost analysis, fwd+bwd+opt)",
+                **_headline_record(pre),
                 **(
                     {
                         "finetune_steps_per_sec": round(ft["steps_per_sec"], 3),
@@ -495,7 +528,8 @@ def main():
                     if pre["per_step_dispatch"] is not None else {}
                 ),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -2,10 +2,12 @@
 item 2): run bench.py's pretrain measurement under each knob configuration
 sequentially on the one real chip and print a result table.
 
-Runs in-process (one jax runtime, persistent compile cache shared) by
-re-importing bench's _measure_pretrain with the env set per config. Each
-config's programs differ (dtype changes recompile), so expect a few minutes
-of compile per config on a cold cache.
+Runs one fresh `python bench.py` SUBPROCESS per config (knobs are read at
+state-init time; a fresh runtime guarantees no stale donated buffers, and
+this 1-core host must never run two jax processes at once). The persistent
+compile cache on disk is shared across configs, but each config's programs
+differ (dtype/remat changes recompile), so expect a few minutes of compile
+per new config even on a warm cache.
 
 Run from the repo root: python benchmarks/knob_sweep.py [config ...]
 Config names: base nu16 nu16sr g16 nu16g16 nu16g16sr b32 (default: all).
@@ -46,8 +48,27 @@ CONFIGS = {
 }
 
 
+def _parse_headline(stdout: str):
+    """Last parseable headline JSON line (bench prints the headline first,
+    then an enriched final line; either satisfies the sweep)."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            out = json.loads(line)
+            if "value" in out and "mfu" in out:
+                return out
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
 def main():
     names = sys.argv[1:] or list(CONFIGS)
+    unknown = [n for n in names if n not in CONFIGS]
+    if unknown:
+        sys.exit(f"unknown config(s) {unknown}; valid: {sorted(CONFIGS)}")
+    # a hung bench (tunnel stall) must not wedge the whole sweep: generous
+    # per-config ceiling (cold compiles can take ~25 min through the tunnel)
+    timeout_s = int(os.environ.get("KNOB_SWEEP_TIMEOUT_S", "3600"))
     results = {}
     for name in names:
         env = dict(os.environ)
@@ -56,21 +77,24 @@ def main():
         env["BENCH_SKIP_LOADER"] = "1"  # also skips the e2e system bench
 
         print(f"=== {name}: {CONFIGS[name]}", flush=True)
-        # subprocess per config: dtype knobs are read at state-init time and
-        # a fresh runtime guarantees no stale donated buffers; never two jax
-        # processes at once on this 1-core host
-        p = subprocess.run(
-            [sys.executable, "bench.py"],
-            env=env, capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
         try:
-            out = json.loads(line)
+            p = subprocess.run(
+                [sys.executable, "bench.py"],
+                env=env, capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+        except subprocess.TimeoutExpired as e:
+            tail = (e.stderr or b"")
+            tail = tail.decode(errors="replace") if isinstance(tail, bytes) else tail
+            results[name] = {"error": f"timeout after {timeout_s}s: {tail[-300:]}"}
+            print(json.dumps({name: results[name]}), flush=True)
+            continue
+        out = _parse_headline(p.stdout)
+        if out is not None:
             results[name] = {
                 "samples_per_sec": out["value"], "mfu": out["mfu"],
             }
-        except (json.JSONDecodeError, KeyError):
+        else:
             results[name] = {"error": (p.stderr or p.stdout)[-400:]}
         print(json.dumps({name: results[name]}), flush=True)
     print("=== summary")

@@ -60,6 +60,50 @@ def world(tmp_path_factory):
     return graphs, cands, nav_db
 
 
+def test_pack_cache_matches_h5_and_detects_staleness(tmp_path):
+    """The mmap pack sidecar (cold-loader mitigation, VERDICT r4 item 8)
+    must serve byte-identical arrays to the h5 path, and a rewritten HDF5
+    must invalidate the stamp so reads fall back to h5."""
+    import os
+    import time
+
+    rng = np.random.default_rng(7)
+    paths = write_synthetic_features(
+        str(tmp_path), rng, {"s1": [f"v{i}" for i in range(5)]},
+        image_feat_size=8, grid_feat_size=6, grid_hw=2, num_views=2,
+    )
+    p = paths["img_ft"]
+    assert os.path.exists(p + ".pack.npy") and os.path.exists(p + ".pack.json")
+
+    packed = H5FeatureDB(p)
+    plain = H5FeatureDB(p, use_pack=False)
+    for i in range(5):
+        a, b = packed.get("s1", f"v{i}"), plain.get("s1", f"v{i}")
+        np.testing.assert_array_equal(a, b)
+        assert a.flags.writeable  # detached from the mmap
+    packed._open_pack()
+    assert packed._pack_rows is not None  # pack really served the reads
+    assert "s1_v0" in packed and "nope" not in packed
+    packed.close(), plain.close()
+
+    # rewrite the h5 (new mtime/size) -> stale stamp -> h5 fallback
+    time.sleep(0.01)
+    import h5py
+
+    with h5py.File(p, "a") as f:
+        f["s1_v0"][...] = 0.0
+    fresh = H5FeatureDB(p)
+    np.testing.assert_array_equal(fresh.get("s1", "v0"), 0.0)
+    assert fresh._pack_rows is None  # fell back, did not serve stale rows
+    # rebuilding restamps and serves from the pack again
+    fresh.build_pack()
+    fresh2 = H5FeatureDB(p)
+    np.testing.assert_array_equal(fresh2.get("s1", "v0"), 0.0)
+    fresh2._open_pack()
+    assert fresh2._pack_rows is not None
+    fresh.close(), fresh2.close()
+
+
 def test_nav_graph_roundtrip(world):
     graphs, cands, _ = world
     for scan, g in graphs.items():

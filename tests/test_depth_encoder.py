@@ -1,5 +1,4 @@
 """DDPPO depth-encoder architectural tests (shape contract + determinism).
-import pytest
 
 Remap parity against a torch replica of habitat's ResNetEncoder is in
 tests/test_frozen_remap.py.
@@ -7,6 +6,7 @@ tests/test_frozen_remap.py.
 
 import jax
 import numpy as np
+import pytest
 
 from vln_bevbert_tpu.models.depth_encoder import DdppoDepthEncoder
 

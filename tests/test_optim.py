@@ -16,7 +16,9 @@ import pytest
 from vln_bevbert_tpu.configs import OptimConfig
 from vln_bevbert_tpu.parallel.optim import (
     _stochastic_round,
+    lookahead,
     make_optimizer,
+    ralamb,
     scale_by_adam_lp,
 )
 
@@ -116,6 +118,94 @@ def test_make_optimizer_nu_dtype_state_leaves():
     flat2 = jax.tree_util.tree_flatten_with_path(st2)[0]
     nu_dts2 = {str(v.dtype) for p, v in flat2 if any("'nu'" in str(k) or ".nu" in str(k) for k in p)}
     assert "bfloat16" in nu_dts2
+
+
+def test_lookahead_sync_math():
+    """k=2, alpha=0.5 over constant SGD updates: pin the slow-weight pull
+    against hand-computed values (reference lookahead.py:29-54 semantics,
+    slow buffer seeded at init per the paper)."""
+    p0 = {"w": jnp.array([4.0])}
+    tx = lookahead(k=2, alpha=0.5)
+    st = tx.init(p0)
+    u = {"w": jnp.array([-1.0])}
+
+    # step 1 (no sync): params 4 -> 3, slow stays 4
+    u1, st = tx.update(u, st, p0)
+    p1 = optax.apply_updates(p0, u1)
+    np.testing.assert_allclose(np.asarray(p1["w"]), [3.0])
+    np.testing.assert_allclose(np.asarray(st.slow["w"]), [4.0])
+    # step 2 (sync): fast candidate 2, slow = 4 + .5*(2-4) = 3, params -> 3
+    u2, st = tx.update(u, st, p1)
+    p2 = optax.apply_updates(p1, u2)
+    np.testing.assert_allclose(np.asarray(p2["w"]), [3.0])
+    np.testing.assert_allclose(np.asarray(st.slow["w"]), [3.0])
+    # step 3 (no sync): 3 -> 2
+    u3, st = tx.update(u, st, p2)
+    p3 = optax.apply_updates(p2, u3)
+    np.testing.assert_allclose(np.asarray(p3["w"]), [2.0])
+    np.testing.assert_allclose(np.asarray(st.slow["w"]), [3.0])
+    # step 4 (sync): candidate 1, slow = 3 + .5*(1-3) = 2
+    u4, st = tx.update(u, st, p3)
+    p4 = optax.apply_updates(p3, u4)
+    np.testing.assert_allclose(np.asarray(p4["w"]), [2.0])
+    np.testing.assert_allclose(np.asarray(st.slow["w"]), [2.0])
+
+
+def test_ralamb_first_step_matches_reference_math():
+    """Step 1 sits in the un-rectified branch (N_sma < 5): the update must
+    be -wd*lr*p - (lr/(1-b1)) * trust_ratio * mu with
+    trust_ratio = clamp(||p||,0,10) / ||candidate|| (ralamb.py:58-99)."""
+    b1, b2, eps, wd, lr = 0.9, 0.98, 1e-8, 0.01, 0.05
+    p = {"w": jnp.array([3.0, -4.0])}  # ||p|| = 5
+    g = {"w": jnp.array([1.0, 2.0])}
+    tx = ralamb(lambda _: lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    st = tx.init(p)
+    u, st = tx.update(g, st, p)
+
+    pf = np.array([3.0, -4.0])
+    gf = np.array([1.0, 2.0])
+    mu = (1 - b1) * gf
+    step_size = 1.0 / (1 - b1)  # un-rectified branch at step 1
+    p1 = pf - wd * lr * pf
+    cand = p1 - step_size * lr * mu
+    tr = min(np.linalg.norm(pf), 10.0) / np.linalg.norm(cand)
+    expected = (p1 - pf) - step_size * lr * tr * mu
+    # impl math is f32, expectation computed in f64: allow f32 rounding
+    np.testing.assert_allclose(np.asarray(u["w"]), expected, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.mu["w"]), mu, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.nu["w"]), (1 - b2) * gf**2,
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "name", ["ralamb", "rangerlars", "adam", "adamax", "adamw+lookahead"]
+)
+def test_make_optimizer_variants_converge(name):
+    """Every reference-selectable optimizer (optim/misc.py:25-31 plus the
+    lookahead wrapper) builds from the factory and solves a quadratic."""
+    def loss_fn(p):
+        return jnp.sum((p["w"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    cfg = OptimConfig(
+        optim=name, learning_rate=0.1, warmup_steps=0, num_train_steps=500,
+        weight_decay=0.0, grad_norm=100.0,
+        mu_dtype="float32", nu_dtype="float32",
+    )
+    params = _tree(4)
+    tx = make_optimizer(cfg, params_for_mask=params)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(params, st):
+        g = jax.grad(loss_fn)(params)
+        up, st = tx.update(g, st, params)
+        return optax.apply_updates(params, up), st
+
+    start = float(loss_fn(params))
+    for _ in range(300):
+        params, st = step(params, st)
+    end = float(loss_fn(params))
+    assert np.isfinite(end) and end < 0.05 * start, (name, start, end)
 
 
 def test_lp_opt_state_orbax_roundtrip(tmp_path):

@@ -10,6 +10,9 @@ from vln_bevbert_tpu.configs import ModelConfig
 from vln_bevbert_tpu.models.surgery import (
     count_transferred,
     hf_bert_to_tree,
+    lxmert_surgery,
+    reference_ckpt_to_tree,
+    roberta_surgery,
     transfer_pretrained,
 )
 
@@ -143,6 +146,301 @@ def test_pretrain_to_nav_transfer_is_identity_on_bert():
     np.testing.assert_allclose(
         np.asarray(out_nav), np.asarray(out_pre), atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-true key-name fixtures (VERDICT r4 item 5): a shape-faithful
+# synthetic torch state dict with EXACTLY the reference's key names/shapes,
+# pinning all three surgery paths — LXMERT (train_r2r.py:119-148), XLM-R
+# incl. the type_vocab patch (train_r2r.py:121-131, vlnbert_init.py:54-55),
+# and the reference pretrain-output format (vlnbert_init.py:40-46).
+# ---------------------------------------------------------------------------
+
+
+def _small_cfg():
+    return ModelConfig(
+        vocab_size=120, hidden_size=16, num_attention_heads=2,
+        intermediate_size=32, num_l_layers=2, num_pano_layers=1,
+        num_x_layers=2, image_feat_size=8, obj_feat_size=0,
+        bev_grid_feat_size=12, num_sem_classes=5, bev_dim=3,
+        max_position_embeddings=32, max_action_steps=10,
+        dtype="float32", use_lang2visn_attn=True, graph_sprels=True,
+    )
+
+
+def synthetic_reference_sd(cfg, rng, with_heads=True, lang2visn=True):
+    """Torch state dict with the reference's exact key names and shapes
+    (pretrain_src/model/vilmodel.py + pretrain_cmt.py module tree, torch
+    (out, in) Linear weights, fused MultiheadAttention in_proj)."""
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    A = cfg.angle_feat_size
+    sd = {}
+
+    def lin(name, out_d, in_d):
+        sd[f"{name}.weight"] = rng.normal(size=(out_d, in_d)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(size=(out_d,)).astype(np.float32)
+
+    def lnorm(name, d=H):
+        sd[f"{name}.weight"] = rng.normal(size=(d,)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(size=(d,)).astype(np.float32)
+
+    def embt(name, n, d=H):
+        sd[f"{name}.weight"] = rng.normal(size=(n, d)).astype(np.float32)
+
+    embt("bert.embeddings.word_embeddings", V)
+    embt("bert.embeddings.position_embeddings", cfg.max_position_embeddings)
+    embt("bert.embeddings.token_type_embeddings", 2)
+    lnorm("bert.embeddings.LayerNorm")
+
+    for i in range(cfg.num_l_layers):
+        p = f"bert.lang_encoder.layer.{i}"
+        for qkv in ("query", "key", "value"):
+            lin(f"{p}.attention.self.{qkv}", H, H)
+        lin(f"{p}.attention.output.dense", H, H)
+        lnorm(f"{p}.attention.output.LayerNorm")
+        lin(f"{p}.intermediate.dense", I, H)
+        lin(f"{p}.output.dense", H, I)
+        lnorm(f"{p}.output.LayerNorm")
+
+    ie = "bert.img_embeddings"
+    lin(f"{ie}.img_linear", H, cfg.image_feat_size)
+    lnorm(f"{ie}.img_layer_norm")
+    lin(f"{ie}.loc_linear", H, A + 3)
+    lnorm(f"{ie}.loc_layer_norm")
+    embt(f"{ie}.nav_type_embedding", 3)
+    lnorm(f"{ie}.layer_norm")
+    for i in range(cfg.num_pano_layers):
+        p = f"{ie}.pano_encoder.layers.{i}"
+        sd[f"{p}.self_attn.in_proj_weight"] = rng.normal(
+            size=(3 * H, H)).astype(np.float32)
+        sd[f"{p}.self_attn.in_proj_bias"] = rng.normal(
+            size=(3 * H,)).astype(np.float32)
+        lin(f"{p}.self_attn.out_proj", H, H)
+        lin(f"{p}.linear1", I, H)
+        lin(f"{p}.linear2", H, I)
+        lnorm(f"{p}.norm1")
+        lnorm(f"{p}.norm2")
+    lnorm(f"{ie}.pano_encoder.norm")
+
+    def x_layer(p):
+        for qkv in ("query", "key", "value"):
+            lin(f"{p}.visual_attention.att.{qkv}", H, H)
+        lin(f"{p}.visual_attention.output.dense", H, H)
+        lnorm(f"{p}.visual_attention.output.LayerNorm")
+        for qkv in ("query", "key", "value"):
+            lin(f"{p}.visn_self_att.self.{qkv}", H, H)
+        lin(f"{p}.visn_self_att.output.dense", H, H)
+        lnorm(f"{p}.visn_self_att.output.LayerNorm")
+        lin(f"{p}.visn_inter.dense", I, H)
+        lin(f"{p}.visn_output.dense", H, I)
+        lnorm(f"{p}.visn_output.LayerNorm")
+        if lang2visn:
+            for qkv in ("query", "key", "value"):
+                lin(f"{p}.lang_self_att.self.{qkv}", H, H)
+            lin(f"{p}.lang_self_att.output.dense", H, H)
+            lnorm(f"{p}.lang_self_att.output.LayerNorm")
+            lin(f"{p}.lang_inter.dense", I, H)
+            lin(f"{p}.lang_output.dense", H, I)
+            lnorm(f"{p}.lang_output.LayerNorm")
+
+    ge = "bert.global_encoder"
+    lin(f"{ge}.gmap_pos_embeddings.0", H, A + 3)
+    lnorm(f"{ge}.gmap_pos_embeddings.1")
+    embt(f"{ge}.gmap_step_embeddings", cfg.max_action_steps)
+    lin(f"{ge}.sprel_linear", 1, 1)
+    for i in range(cfg.num_x_layers):
+        x_layer(f"{ge}.encoder.x_layers.{i}")
+
+    le = "bert.local_encoder"
+    lin(f"{le}.bev_fts_embeddings.0", H, cfg.bev_grid_feat_size)
+    lnorm(f"{le}.bev_fts_embeddings.1")
+    lin(f"{le}.bev_pos_embeddings.0", H, 3 + 7)
+    lnorm(f"{le}.bev_pos_embeddings.1")
+    embt(f"{le}.nav_type_embedding", 2)
+    for i in range(cfg.num_x_layers):
+        x_layer(f"{le}.encoder.x_layers.{i}")
+
+    if with_heads:
+        lin("mlm_head.predictions.transform.dense", H, H)
+        lnorm("mlm_head.predictions.transform.LayerNorm")
+        sd["mlm_head.predictions.bias"] = rng.normal(size=(V,)).astype(np.float32)
+        sd["mlm_head.predictions.decoder.weight"] = rng.normal(
+            size=(V, H)).astype(np.float32)
+        for head, in_d, out_d in [
+            ("global_sap_head", H, 1), ("local_sap_head", H, 1),
+            ("sap_fuse_linear", 2 * H, 1),
+            ("local_sem_head", H, cfg.num_sem_classes),
+        ]:
+            lin(f"{head}.net.0", H, in_d)
+            lnorm(f"{head}.net.2")
+            lin(f"{head}.net.3", out_d, H)
+    return sd
+
+
+def _init_pretrain_params(cfg):
+    import jax
+
+    from vln_bevbert_tpu.configs import ShapeConfig
+    from vln_bevbert_tpu.data.synthetic import synthetic_pretrain_batch
+    from vln_bevbert_tpu.models import GlocalTextPathCMTPreTraining
+
+    shapes = ShapeConfig(max_txt_len=12, max_steps=2, max_pano_len=6,
+                         max_gmap_len=6, max_local_len=4, max_objects=0,
+                         num_views=2, grid_hw=2, max_masked_tokens=3)
+    batch = synthetic_pretrain_batch(
+        np.random.default_rng(0), 1, shapes, cfg, raw_bev=False
+    )
+    batch["txt_ids"] %= cfg.vocab_size
+    batch["mlm_tgt"] %= cfg.vocab_size
+    batch["mlm_ids"] %= cfg.vocab_size
+    model = GlocalTextPathCMTPreTraining(cfg, tasks=("mlm", "sap", "masksem"))
+    variables = model.init(
+        jax.random.key(0), batch, method=model.init_all
+    )
+    return model, variables["params"]
+
+
+def test_reference_ckpt_full_coverage_and_numerics():
+    """A reference-format pretrain state dict (exact key names and shapes)
+    must convert and transfer onto EVERY leaf of our pretrain model — the
+    only intentional drop is the tied mlm decoder copy."""
+    import jax
+
+    cfg = _small_cfg()
+    _, params = _init_pretrain_params(cfg)
+    sd = synthetic_reference_sd(cfg, np.random.default_rng(1))
+    tree = reference_ckpt_to_tree(
+        sd, max_position_embeddings=cfg.max_position_embeddings
+    )
+    total = len(jax.tree.leaves(params))
+    n = count_transferred(tree, params)
+    assert n == total, f"transferred {n} of {total} leaves"
+    merged = transfer_pretrained(tree, params)
+
+    # numerics spot-checks: torch (out,in) -> flax (in,out) transposes and
+    # the fused projections' column blocks
+    np.testing.assert_array_equal(
+        merged["bert"]["local_encoder"]["fts_linear"]["kernel"],
+        sd["bert.local_encoder.bev_fts_embeddings.0.weight"].T,
+    )
+    kv = merged["bert"]["global_encoder"]["x_layer_0"]["cross"]["att"]["kv"]["kernel"]
+    H = cfg.hidden_size
+    np.testing.assert_array_equal(
+        kv[:, :H],
+        sd["bert.global_encoder.encoder.x_layers.0.visual_attention.att.key.weight"].T,
+    )
+    np.testing.assert_array_equal(
+        kv[:, H:],
+        sd["bert.global_encoder.encoder.x_layers.0.visual_attention.att.value.weight"].T,
+    )
+    # torch MultiheadAttention in_proj rows q|k|v transpose into our fused
+    # qkv column blocks
+    np.testing.assert_array_equal(
+        merged["bert"]["img_embeddings"]["pano_layer_0"]["att"]["qkv"]["kernel"],
+        sd["bert.img_embeddings.pano_encoder.layers.0.self_attn.in_proj_weight"].T,
+    )
+    np.testing.assert_array_equal(
+        merged["mlm_head"]["bias"], sd["mlm_head.predictions.bias"]
+    )
+
+
+def test_lxmert_surgery_namespace():
+    """The LXMERT key surgery must fan x_layers out to BOTH encoders, remap
+    lang layers and cls.predictions, and pass everything else through
+    (train_r2r.py:119-148)."""
+    v = np.zeros((4, 4), np.float32)
+    sd = {
+        "module.bert.encoder.layer.0.attention.self.query.weight": v,
+        "module.bert.encoder.x_layers.1.visn_inter.dense.weight": v,
+        "module.cls.predictions.bias": np.zeros(7, np.float32),
+        "module.bert.embeddings.word_embeddings.weight": v,
+        "module.bert.encoder.r_layers.0.attention.self.query.weight": v,
+    }
+    out = lxmert_surgery(sd)
+    assert "bert.lang_encoder.layer.0.attention.self.query.weight" in out
+    assert "bert.local_encoder.encoder.x_layers.1.visn_inter.dense.weight" in out
+    assert "bert.global_encoder.encoder.x_layers.1.visn_inter.dense.weight" in out
+    assert "mlm_head.predictions.bias" in out
+    assert "bert.embeddings.word_embeddings.weight" in out
+    # r_layers pass through un-renamed (and later find no module: dropped)
+    assert "bert.encoder.r_layers.0.attention.self.query.weight" in out
+
+
+def test_lxmert_path_loads_lang_and_both_xlayer_branches():
+    """End-to-end LXMERT path: a raw-LXMERT-format dict (module. prefixes,
+    bert.encoder.{layer,x_layers}, cls.predictions) surgered + converted
+    must land identical x-layer weights in the global AND local branches."""
+    import jax
+
+    cfg = _small_cfg()
+    _, params = _init_pretrain_params(cfg)
+    ref = synthetic_reference_sd(cfg, np.random.default_rng(2))
+
+    # re-express the reference-format dict in LXMERT's raw namespace
+    lx = {}
+    for k, v in ref.items():
+        if k.startswith("bert.lang_encoder.layer."):
+            lx["module." + k.replace("bert.lang_encoder.layer.",
+                                     "bert.encoder.layer.")] = v
+        elif k.startswith("bert.global_encoder.encoder.x_layers."):
+            lx["module." + k.replace("bert.global_encoder.encoder.x_layers.",
+                                     "bert.encoder.x_layers.")] = v
+        elif k.startswith("mlm_head.predictions."):
+            lx["module." + k.replace("mlm_head.predictions.",
+                                     "cls.predictions.")] = v
+        elif k.startswith("bert.embeddings."):
+            lx["module." + k] = v
+
+    tree = reference_ckpt_to_tree(
+        lxmert_surgery(lx), max_position_embeddings=cfg.max_position_embeddings
+    )
+    merged = transfer_pretrained(tree, params)
+    for branch in ("global_encoder", "local_encoder"):
+        got = merged["bert"][branch]["x_layer_0"]["ffn"]["inter"]["kernel"]
+        np.testing.assert_array_equal(
+            got,
+            ref["bert.global_encoder.encoder.x_layers.0.visn_inter.dense.weight"].T,
+        )
+    np.testing.assert_array_equal(
+        merged["bert"]["lang_encoder"]["layer_1"]["ffn"]["inter"]["kernel"],
+        ref["bert.lang_encoder.layer.1.intermediate.dense.weight"].T,
+    )
+    np.testing.assert_array_equal(
+        merged["mlm_head"]["bias"], ref["mlm_head.predictions.bias"]
+    )
+
+
+def test_roberta_surgery_token_type_patch():
+    """XLM-R surgery: 'bert.' prefixing, lang-layer rename, and the 1->2
+    token-type duplication matching vlnbert_init.py:54-55's
+    type_vocab_size=2 patch."""
+    rng = np.random.default_rng(3)
+    tt = rng.normal(size=(1, 8)).astype(np.float32)
+    sd = {
+        "embeddings.token_type_embeddings.weight": tt,
+        "encoder.layer.0.attention.self.query.weight":
+            rng.normal(size=(8, 8)).astype(np.float32),
+        "pooler.dense.weight": rng.normal(size=(8, 8)).astype(np.float32),
+    }
+    out = roberta_surgery(sd)
+    got_tt = out["bert.embeddings.token_type_embeddings.weight"]
+    assert got_tt.shape == (2, 8)
+    np.testing.assert_array_equal(got_tt[0], tt[0])
+    np.testing.assert_array_equal(got_tt[1], tt[0])
+    assert "bert.lang_encoder.layer.0.attention.self.query.weight" in out
+    assert "bert.pooler.dense.weight" in out
+
+
+def test_reference_ckpt_truncates_oversized_position_table():
+    """XLM-R's 514-row position table truncates to max_position_embeddings
+    keeping row i = position i (the reference's naive mapping)."""
+    rng = np.random.default_rng(4)
+    pos = rng.normal(size=(34, 8)).astype(np.float32)
+    sd = {"bert.embeddings.position_embeddings.weight": pos}
+    tree = reference_ckpt_to_tree(sd, max_position_embeddings=32)
+    got = tree["bert"]["embeddings"]["position_embeddings"]["embedding"]
+    assert got.shape == (32, 8)
+    np.testing.assert_array_equal(got, pos[:32])
 
 
 def test_roberta_position_offset():

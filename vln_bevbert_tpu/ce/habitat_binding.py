@@ -142,6 +142,14 @@ class HabitatContinuousEnv:
             rgbs.append(obs["rgb"])
             raw_depths.append(obs["depth"])
             depths.append(self._pool_depth(obs["depth"]))
+        # restore the pre-render pose: the ring render rotates the agent
+        # through the 12 view headings, and leaving the last one applied
+        # would corrupt every subsequent rotate/forward_step (the reference
+        # renders through a fixed 12-camera sensor rig instead,
+        # ss_trainer_BEV.py:107-179, so its agent never moves)
+        sim.set_agent_state(
+            np.asarray(state.position), state.rotation, reset_sensors=False
+        )
         rgbs = np.stack(rgbs)
         depths = np.stack(depths)
         if self.clip_encoder is not None:

@@ -5,7 +5,11 @@ Parity with the reference's vendored optimisers and schedules
 from weight decay (build_optimizer, optim/misc.py:12-37), linear
 warmup-then-decay (get_lr_sched, optim/sched.py:10-29), noam alternative,
 global-norm clipping applied before the update (train_r2r.py:296-303).
-RAdam / Lookahead variants map onto optax.radam / optax.lookahead.
+Variant coverage (optim/misc.py:25-31 + the vendored files): adam, adamax,
+adamw, radam (optax.radam), lamb, ralamb (custom transform, ralamb.py
+parity incl. the candidate-norm trust ratio), rangerlars =
+Lookahead(Ralamb) (rangerlars.py:12-14), and a "+lookahead" wrapper
+(lookahead.py, alpha=0.5/k=6) applicable to any base.
 """
 
 from __future__ import annotations
@@ -172,6 +176,142 @@ def scale_by_adam_lp(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class LookaheadState(NamedTuple):
+    count: "jax.Array"  # noqa: F821 — annotation only
+    slow: optax.Params
+
+
+def lookahead(k: int = 6, alpha: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead slow-weights wrapper as a plain gradient transformation.
+
+    Parity target: the reference's vendored Lookahead
+    (/root/reference/pretrain_src/optim/lookahead.py:12-54, defaults
+    alpha=0.5, k=6): every k fast steps the fast weights are pulled back to
+    ``slow + alpha * (fast - slow)`` and the slow buffer takes that value.
+    Where the reference's param-mutating wrapper lazily seeds the slow
+    buffer at the first sync, this transform seeds it at init (the paper's
+    formulation, arXiv:1907.08610) so the whole thing stays a pure
+    (updates, state, params) -> (updates, state) function: no param-tree
+    restructuring (unlike optax.lookahead's fast/slow param pair), so
+    TrainState, orbax checkpoints and the DP mesh shardings are untouched.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        # Materialise a COPY of each leaf: jnp.asarray would alias the live
+        # param buffers, and a train step that donates its state would then
+        # donate the same buffer twice (params leaf + slow leaf) — a runtime
+        # InvalidArgument on TPU.
+        return LookaheadState(
+            count=jnp.zeros([], jnp.int32),
+            slow=jax.tree_util.tree_map(
+                lambda p: jnp.array(p, copy=True), params
+            ),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("lookahead requires params")
+        count = optax.safe_int32_increment(state.count)
+        sync = (count % k == 0)
+        # candidate fast weights after this inner update; on sync steps the
+        # emitted update lands the params exactly on the new slow weights
+        slow_new = jax.tree_util.tree_map(
+            lambda u, p, s: s + alpha * ((p + u) - s),
+            updates, params, state.slow,
+        )
+        new_updates = jax.tree_util.tree_map(
+            lambda sn, p, u: jnp.where(sync, sn - p, u),
+            slow_new, params, updates,
+        )
+        slow = jax.tree_util.tree_map(
+            lambda sn, s: jnp.where(sync, sn, s), slow_new, state.slow
+        )
+        return new_updates, LookaheadState(count=count, slow=slow)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class RalambState(NamedTuple):
+    count: "jax.Array"  # noqa: F821 — annotation only
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def ralamb(sched, b1: float, b2: float, eps: float, weight_decay: float,
+           mask=None) -> optax.GradientTransformation:
+    """RAdam + per-leaf LARS trust ratio ("Ralamb"), as a full optimizer
+    (learning rate folded in, like the reference's param-mutating class).
+
+    Parity target: /root/reference/pretrain_src/optim/ralamb.py:15-103 —
+    RAdam variance rectification (N_sma >= 5 gates the sqrt(nu) denominator,
+    :58-68), decoupled-but-lr-scaled weight decay applied to the params
+    before the step (:71-72), and a trust ratio
+    ``clamp(||p||, 0, 10) / ||p_decayed + radam_step||`` (1 where either
+    norm is zero) that scales the RAdam term but NOT the decay term
+    (:74-99, quirks kept — the denominator is the CANDIDATE param norm,
+    not the update norm as in standard LAMB). All math f32, one pass.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=jnp.float32)  # noqa: E731
+        return RalambState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ralamb requires params")
+        count = optax.safe_int32_increment(state.count)
+        step = count.astype(jnp.float32)
+        lr = sched(count - 1) if callable(sched) else sched
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m + (1.0 - b1) * g.astype(jnp.float32),
+            updates, state.mu,
+        )
+        nu = jax.tree_util.tree_map(
+            lambda g, v: b2 * v + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates, state.nu,
+        )
+        beta2_t = b2 ** step
+        n_sma_max = 2.0 / (1.0 - b2) - 1.0
+        n_sma = n_sma_max - 2.0 * step * beta2_t / (1.0 - beta2_t)
+        rect = jnp.sqrt(
+            (1.0 - beta2_t) * (n_sma - 4.0) / (n_sma_max - 4.0)
+            * (n_sma - 2.0) / n_sma * n_sma_max / (n_sma_max - 2.0)
+        )
+        bias1 = 1.0 - b1 ** step
+        use_rect = n_sma >= 5.0
+        step_size = jnp.where(use_rect, rect, 1.0) / bias1
+        decay_mask = mask if mask is not None else jax.tree_util.tree_map(
+            lambda _: True, updates
+        )
+
+        def leaf(g, p, m, v, decayed):
+            del g
+            pf = p.astype(jnp.float32)
+            wd = weight_decay if decayed else 0.0
+            p1 = pf - wd * lr * pf
+            direction = jnp.where(use_rect, m / (jnp.sqrt(v) + eps), m)
+            cand = p1 - step_size * lr * direction
+            wn = jnp.clip(jnp.sqrt(jnp.sum(pf * pf)), 0.0, 10.0)
+            rn = jnp.sqrt(jnp.sum(cand * cand))
+            tr = jnp.where((wn == 0) | (rn == 0), 1.0, wn / rn)
+            return ((p1 - pf) - step_size * lr * tr * direction).astype(p.dtype)
+
+        new_updates = jax.tree_util.tree_map(
+            leaf, updates, params, mu, nu, decay_mask
+        )
+        return new_updates, RalambState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: OptimConfig, params_for_mask=None,
                    include_clip: bool = True) -> optax.GradientTransformation:
     """``include_clip=False`` omits the global-norm clip from the chain for
@@ -227,12 +367,40 @@ def make_optimizer(cfg: OptimConfig, params_for_mask=None,
             learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1],
             weight_decay=cfg.weight_decay, mask=mask,
         )
+    elif base_name == "ralamb":
+        inner = ralamb(
+            sched, b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8,
+            weight_decay=cfg.weight_decay, mask=mask,
+        )
+    elif base_name == "rangerlars":
+        # RangerLars = Lookahead(Ralamb) at the reference's fixed alpha/k
+        # (optim/rangerlars.py:12-14; selectable via build_optimizer,
+        # optim/misc.py:31)
+        inner = optax.chain(
+            ralamb(sched, b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8,
+                   weight_decay=cfg.weight_decay, mask=mask),
+            lookahead(k=6, alpha=0.5),
+        )
+    elif base_name == "adam":
+        # torch Adam with grouped weight_decay = L2 into the gradient
+        # (optim/misc.py:15-26): decay joins the moment path
+        inner = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=mask),
+            optax.adam(learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1]),
+        )
+    elif base_name == "adamax":
+        inner = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=mask),
+            optax.adamax(learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1]),
+        )
     else:
         raise ValueError(f"unknown optimizer: {cfg.optim}")
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_norm), inner) \
         if include_clip else inner
     if wrapper == "ema":  # slow-weights variant in the spirit of Lookahead
         tx = optax.chain(tx, optax.ema(decay=0.5, debias=False))
+    elif wrapper == "lookahead":
+        tx = optax.chain(tx, lookahead(k=6, alpha=0.5))
     elif wrapper:
         raise ValueError(f"unknown optimizer wrapper: {wrapper}")
     if cfg.gradient_accumulation_steps > 1:

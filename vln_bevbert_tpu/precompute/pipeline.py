@@ -204,11 +204,17 @@ class JaxClipEncoder:
 
 def build_feature_files(source, encoder, out_dir: str,
                         progress_every: int = 50,
-                        save_raw_images: bool = False) -> Dict[str, str]:
+                        save_raw_images: bool = False,
+                        pack: bool = True) -> Dict[str, str]:
     """Write the HDF5 products the training stack consumes; with
     ``save_raw_images``, also dump the raw 12-view rgb/depth frames (the
     reference's save_habitat_img.py / save_depth_img.py products, used to
-    re-encode with a different tower without re-rendering)."""
+    re-encode with a different tower without re-rendering).
+
+    ``pack`` also emits the mmap sidecars (H5FeatureDB.build_pack) beside
+    the four training products, so cold training starts serve features by
+    mmap slice instead of per-key h5py reads (raw dumps are excluded: they
+    are gzip re-encode intermediates, not on the training hot path)."""
     import h5py
 
     os.makedirs(out_dir, exist_ok=True)
@@ -240,6 +246,13 @@ def build_feature_files(source, encoder, out_dir: str,
     finally:
         for f in files.values():
             f.close()
+    if pack:
+        from ..data.feature_db import H5FeatureDB
+
+        for k in ("img_ft", "rgb", "depth", "sem"):
+            db = H5FeatureDB(paths[k])
+            db.build_pack()
+            db.close()
     return paths
 
 
