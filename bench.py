@@ -64,8 +64,9 @@ V5E_BF16_PEAK = 197e12  # TPU v5e (v5 lite) bf16 peak per chip
 FLOPS_PER_SAMPLE_PINNED = 138.65e9  # 2026-08-17, mix-weighted
 # mlm:sap:masksem 5:5:1, B=16, fwd+bwd+AdamW, bf16 scores + bf16 adam-mu
 # (fingerprint re-pinned for the new OptimConfig nu_dtype/state_sr/grad_dtype
-# fields at their f32-equivalent defaults — identical program, same FLOPs)
-FLOPS_PINNED_FINGERPRINT = "40ccaa6954a6"
+# fields at their f32-equivalent defaults, then again for fused_update=False
+# — identical program, same FLOPs)
+FLOPS_PINNED_FINGERPRINT = "e27055728bb5"
 
 
 def _config_fingerprint(cfg) -> str:
@@ -126,6 +127,8 @@ def _measure_pretrain() -> dict:
         cfg.optim.grad_dtype = os.environ["BENCH_GRAD_DTYPE"]
     if os.environ.get("BENCH_STATE_SR"):
         cfg.optim.state_sr = os.environ["BENCH_STATE_SR"] == "1"
+    if os.environ.get("BENCH_FUSED_ADAMW"):
+        cfg.optim.fused_update = os.environ["BENCH_FUSED_ADAMW"] == "1"
     B = cfg.train_batch_size
     rng = np.random.default_rng(0)
     batch = synthetic_pretrain_batch(rng, B, cfg.shapes, cfg.model, raw_bev=True)

@@ -45,6 +45,9 @@ CONFIGS = {
     "rematfull": {"VLN_BEVBERT_REMAT_ATTN": "full"},
     "b64rematdots": {"BENCH_BATCH": "64", "VLN_BEVBERT_REMAT_ATTN": "dots"},
     "b128rematfull": {"BENCH_BATCH": "128", "VLN_BEVBERT_REMAT_ATTN": "full"},
+    "b128rematdots": {"BENCH_BATCH": "128", "VLN_BEVBERT_REMAT_ATTN": "dots"},
+    "fusedadamw": {"BENCH_FUSED_ADAMW": "1"},
+    "b64fusedadamw": {"BENCH_BATCH": "64", "BENCH_FUSED_ADAMW": "1"},
 }
 
 

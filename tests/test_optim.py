@@ -239,3 +239,75 @@ def test_lp_opt_state_orbax_roundtrip(tmp_path):
     up2, st2 = tx.update(g, restored, params)
     assert all(np.isfinite(np.asarray(x, np.float32)).all()
                for x in jax.tree_util.tree_leaves(up2))
+
+
+def test_fused_adamw_clip_matches_optax_chain():
+    """fused_update=True (one tree pass: clip scale + Adam moments + bias
+    correction + decoupled decay + lr, optim.py:fused_adamw_clip) must be
+    math-identical to the shipped default (in-body clip + optax.adamw fused
+    chain) through TrainState.apply_gradients — params, moments and the
+    grad-norm metric, including bf16 mu storage and the no-decay mask."""
+    import dataclasses
+
+    from vln_bevbert_tpu.parallel.train_step import TrainState
+
+    params = _tree(5)
+    cfg = OptimConfig(
+        learning_rate=0.01, warmup_steps=5, num_train_steps=100,
+        weight_decay=0.01, grad_norm=1.0, mu_dtype="bfloat16",
+    )
+    tx_ref = make_optimizer(cfg, params_for_mask=params, include_clip=False)
+    tx_fused = make_optimizer(
+        dataclasses.replace(cfg, fused_update=True),
+        params_for_mask=params, include_clip=False,
+    )
+    mk = lambda tx: TrainState(  # noqa: E731
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params), tx=tx, clip_norm=float(cfg.grad_norm),
+    )
+    s_ref, s_fused = mk(tx_ref), mk(tx_fused)
+    for i in range(6):
+        # alternate small/large grads so the clip both binds and doesn't
+        scale = 3.0 if i % 2 else 0.1
+        grads = jax.tree_util.tree_map(
+            lambda p: scale * jnp.cos(p * (i + 1)), params
+        )
+        s_ref, gn_ref = s_ref.apply_gradients(grads)
+        s_fused, gn_fused = s_fused.apply_gradients(grads)
+        np.testing.assert_allclose(
+            np.asarray(gn_fused), np.asarray(gn_ref), rtol=1e-6
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                        jax.tree_util.tree_leaves(s_fused.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7
+            )
+    # moments too (mu compares in its bf16 storage dtype)
+    mu_ref = [v for p, v in jax.tree_util.tree_flatten_with_path(s_ref.opt_state)[0]
+              if any("mu" in str(k) for k in p)]
+    mu_fused = [v for p, v in jax.tree_util.tree_flatten_with_path(s_fused.opt_state)[0]
+                if any("mu" in str(k) for k in p)]
+    assert mu_ref and len(mu_ref) == len(mu_fused)
+    for a, b in zip(mu_ref, mu_fused):
+        assert a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-6
+        )
+
+
+def test_fused_adamw_rejects_incompatible_configs():
+    """The fused path must refuse configs whose semantics it cannot fold in
+    (a silent fallback would invalidate any measurement made under the knob)."""
+    params = _tree(6)
+    base = dict(learning_rate=0.01, fused_update=True)
+    with pytest.raises(ValueError):  # chain-clip path owns the clip
+        make_optimizer(OptimConfig(**base), params_for_mask=params,
+                       include_clip=True)
+    for bad in (
+        OptimConfig(**base, nu_dtype="bfloat16"),
+        OptimConfig(**base, grad_dtype="bfloat16"),
+        OptimConfig(**base, optim="adamw+lookahead"),
+        OptimConfig(**base, gradient_accumulation_steps=2),
+    ):
+        with pytest.raises(ValueError):
+            make_optimizer(bad, params_for_mask=params, include_clip=False)

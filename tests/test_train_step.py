@@ -232,3 +232,30 @@ def test_block_step_matches_per_step_sequence():
     for a, b in zip(jax.tree.leaves(s_seq2.params), jax.tree.leaves(s_blk2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_fused_update_block_step_matches_default():
+    """OptimConfig.fused_update=True (single-tree-pass clip+AdamW,
+    optim.py:fused_adamw_clip) must train identically to the default optax
+    chain through the REAL compiled block step — same losses, same params —
+    exercising trace, lax.scan and state donation on the fused state tree."""
+    import dataclasses
+
+    from vln_bevbert_tpu.parallel.train_step import make_pretrain_block_step
+
+    batch = make_batch(8)
+    results = []
+    for fused in (False, True):
+        cfg = tiny_cfg(fused_update=fused, mu_dtype="bfloat16")
+        model, projector, state = init_pretrain_state(cfg, batch)
+        block = make_pretrain_block_step(model, projector, None, unroll=2)
+        rng = jax.random.key(7)
+        state, metrics = block(state, batch, rng, task="mlm", length=2)
+        state, metrics = block(state, batch, rng, task="sap", length=2)
+        results.append((float(metrics["loss"]),
+                        jax.tree_util.tree_leaves(state.params)))
+    assert np.isclose(results[0][0], results[1][0], rtol=1e-5)
+    for a, b in zip(results[0][1], results[1][1]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-5, atol=1e-6)

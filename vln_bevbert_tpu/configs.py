@@ -153,6 +153,11 @@ class OptimConfig:
                                    # bf16 grads (halving grad write + norm
                                    # read + optimizer read + DP psum bytes);
                                    # Adam math still runs f32 per-step
+    fused_update: bool = False     # author clip+AdamW+decay+lr as ONE tree
+                                   # pass (optim.py:fused_adamw_clip) instead
+                                   # of optax's four chained transforms —
+                                   # measured-equal math, targets the profiled
+                                   # optimizer/elementwise tail; adamw-only
 
 
 

@@ -14,7 +14,7 @@ Lookahead(Ralamb) (rangerlars.py:12-14), and a "+lookahead" wrapper
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import optax
 
@@ -174,6 +174,106 @@ def scale_by_adam_lp(
         )
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+class FusedAdamWState(NamedTuple):
+    count: "jax.Array"  # noqa: F821 — annotation only
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+class FusedGradientTransformation(NamedTuple):
+    """An optax-shaped transformation whose ``update`` additionally accepts a
+    precomputed clip ``scale`` scalar (see ``fused_adamw_clip``). Callers that
+    hold the global-norm clip in the step body (TrainState.apply_gradients)
+    detect this type and pass the scale instead of materialising a scaled
+    gradient tree."""
+
+    init: Any
+    update: Any
+
+
+def fused_adamw_clip(
+    sched, b1: float, b2: float, eps: float, weight_decay: float,
+    mask=None, mu_dtype=None,
+) -> FusedGradientTransformation:
+    """AdamW with the global-norm clip, moment update, bias correction,
+    decoupled weight decay and learning rate all folded into ONE tree pass.
+
+    Mathematically identical to ``optax.chain(clip_by_global_norm, adamw)``
+    (pinned in tests/test_optim.py): optax's chain authors the update as four
+    sequential tree transforms (scale grads -> scale_by_adam -> add decayed
+    weights -> scale by lr), each a separate family of elementwise kernels
+    XLA must re-fuse across materialised intermediate trees. The profiled
+    optimizer/elementwise tail at flagship scale is ~19% of the step
+    (benchmarks/TRACE_SUMMARY.md); this variant hands XLA one leaf function
+    computing (update, mu', nu') per parameter so the whole per-leaf update
+    is a single fusion region over one read of (g, p, mu, nu).
+
+    The clip arrives as ``scale`` — a scalar the caller derives from the one
+    global-norm reduce that also serves the grad_norm metric (the reference
+    logs clip_grad_norm_'s return the same way, train_r2r.py:296-303).
+    Moment math runs f32; ``mu`` stores in ``mu_dtype`` exactly like
+    optax.adamw (round-to-nearest on store), ``nu`` stays f32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        return FusedAdamWState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+            ),
+            nu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), params),
+        )
+
+    def update_fn(updates, state, params=None, scale=None):
+        if params is None:
+            raise ValueError("fused_adamw_clip requires params")
+        count = optax.safe_int32_increment(state.count)
+        # optax.scale_by_learning_rate evaluates the schedule at the
+        # pre-increment count: first update uses sched(0)
+        lr = sched(count - 1) if callable(sched) else sched
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** cf
+        bc2 = 1.0 - b2 ** cf
+
+        def leaf(g, p, m, v, decayed):
+            g32 = g.astype(jnp.float32)
+            if scale is not None:
+                g32 = g32 * scale
+            # exactly optax.tree.update_moment's promotion: ``b1 * m`` runs in
+            # the mu STORAGE dtype (one bf16 rounding when mu_dtype=bfloat16)
+            # before the f32 add — parity with optax.adamw is bit-for-bit
+            m32 = (1.0 - b1) * g32 + b1 * m
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g32)
+            u = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            if decayed and weight_decay:
+                u = u + weight_decay * p.astype(jnp.float32)
+            return (
+                (-lr * u).astype(p.dtype),
+                m32.astype(m.dtype),
+                v32.astype(v.dtype),
+            )
+
+        gl, treedef = jax.tree_util.tree_flatten(updates)
+        pl = jax.tree_util.tree_leaves(params)
+        ml = jax.tree_util.tree_leaves(state.mu)
+        vl = jax.tree_util.tree_leaves(state.nu)
+        dl = (
+            jax.tree_util.tree_leaves(mask)
+            if mask is not None
+            else [True] * len(gl)
+        )
+        out = [leaf(*args) for args in zip(gl, pl, ml, vl, dl)]
+        unflat = jax.tree_util.tree_unflatten
+        new_updates = unflat(treedef, [o[0] for o in out])
+        mu = unflat(treedef, [o[1] for o in out])
+        nu = unflat(treedef, [o[2] for o in out])
+        return new_updates, FusedAdamWState(count=count, mu=mu, nu=nu)
+
+    return FusedGradientTransformation(init_fn, update_fn)
 
 
 class LookaheadState(NamedTuple):
@@ -338,6 +438,23 @@ def make_optimizer(cfg: OptimConfig, params_for_mask=None,
             or bf16_grads
             or (state_sr and mu_dtype != jnp.float32)
         )
+        if getattr(cfg, "fused_update", False):
+            # single-tree-pass AdamW with clip folded in (fused_adamw_clip).
+            # Only the TrainState path (include_clip=False: the step body owns
+            # the norm pass and passes the clip scale) can drive it, and the
+            # fusion premise breaks under dtype knobs, wrappers or MultiSteps
+            # — reject loudly rather than silently measuring the wrong thing.
+            if include_clip or lp_needed or wrapper \
+                    or cfg.gradient_accumulation_steps > 1:
+                raise ValueError(
+                    "fused_update requires the in-step-clip adamw path "
+                    "(include_clip=False, f32 nu/grads, no SR, no wrapper, "
+                    "no gradient accumulation)"
+                )
+            return fused_adamw_clip(
+                sched, b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8,
+                weight_decay=cfg.weight_decay, mask=mask, mu_dtype=mu_dtype,
+            )
         if not lp_needed:
             inner = optax.adamw(
                 learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1],

@@ -61,6 +61,23 @@ class TrainState(struct.PyTreeNode):
                 for g in jax.tree_util.tree_leaves(grads)
             )
         )
+        from .optim import FusedGradientTransformation
+
+        if isinstance(self.tx, FusedGradientTransformation):
+            # single-tree-pass AdamW (optim.py:fused_adamw_clip): the clip
+            # scale rides into the fused update; no scaled-grads tree is
+            # materialised
+            scale = None
+            if self.clip_norm is not None:
+                scale = self.clip_norm / jnp.maximum(gnorm, self.clip_norm)
+            updates, new_opt_state = self.tx.update(
+                grads, self.opt_state, self.params, scale=scale
+            )
+            return self.replace(
+                step=self.step + 1,
+                params=optax.apply_updates(self.params, updates),
+                opt_state=new_opt_state,
+            ), gnorm
         if self.clip_norm is not None:
             # optax.clip_by_global_norm semantics: g * clip / max(norm, clip)
             scale = self.clip_norm / jnp.maximum(gnorm, self.clip_norm)
