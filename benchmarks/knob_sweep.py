@@ -48,6 +48,9 @@ CONFIGS = {
     "b128rematdots": {"BENCH_BATCH": "128", "VLN_BEVBERT_REMAT_ATTN": "dots"},
     "fusedadamw": {"BENCH_FUSED_ADAMW": "1"},
     "b64fusedadamw": {"BENCH_BATCH": "64", "BENCH_FUSED_ADAMW": "1"},
+    "multmask": {"VLN_BEVBERT_MULT_MASK": "1"},
+    "multmaskfusedadamw": {"VLN_BEVBERT_MULT_MASK": "1",
+                           "BENCH_FUSED_ADAMW": "1"},
 }
 
 

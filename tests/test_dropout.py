@@ -36,6 +36,26 @@ def test_rate_zero_identity_and_grad_mask():
     np.testing.assert_array_equal(dx != 0, y != 0)
 
 
+def test_mult_mask_matches_where_path(monkeypatch):
+    """VLN_BEVBERT_MULT_MASK=1 reformulates the fallback as x * mask * scale;
+    same bernoulli draw => same mask stream, values equal up to a 1-ulp
+    div-vs-reciprocal difference."""
+    x = jax.random.normal(jax.random.key(3), (32, 512))
+    key = jax.random.key(4)
+    ref = np.asarray(fused_dropout(x, 0.3, key))
+    monkeypatch.setenv("VLN_BEVBERT_MULT_MASK", "1")
+    got = np.asarray(fused_dropout(x, 0.3, key))
+    np.testing.assert_array_equal(got != 0, ref != 0)
+    np.testing.assert_allclose(got, ref, rtol=2e-7)
+
+    def f(x):
+        return jnp.sum(fused_dropout(x, 0.5, jax.random.key(5)) ** 2)
+
+    dx = np.asarray(jax.grad(f)(x))
+    y = np.asarray(fused_dropout(x, 0.5, jax.random.key(5)))
+    np.testing.assert_array_equal(dx != 0, y != 0)
+
+
 def test_module_contract():
     import flax.linen as nn
 

@@ -145,23 +145,42 @@ class H5FeatureDB:
         except (OSError, ValueError, KeyError):  # unreadable sidecar: ignore
             self._pack = self._pack_rows = None
 
-    def build_pack(self) -> str:
+    #: rows bigger than this never pack: per-key h5py overhead (B-tree walk,
+    #: ~0.2-0.7 ms) is already amortized by the bulk read, while the doubled
+    #: on-disk footprint costs page-cache warmth — measured 6.3 ms/get (h5)
+    #: vs 110 ms/get (mmap faulting under cache pressure) on the 3.6 MB-row
+    #: grid store. The pack's win is the SMALL-row stores (depth/sem/views:
+    #: 5-50x faster than h5 per get).
+    PACK_MAX_ROW_BYTES = 1 << 20
+
+    def build_pack(self) -> Optional[str]:
         """Write the sidecar from the HDF5 (one sweep; done offline by the
         precompute pipeline, not on the training hot path). Requires all
         keys to share one shape/dtype, which every product of the feature
-        pipeline does (36xD views, Vx196xD grids, VxHxW depth/sem)."""
+        pipeline does (36xD views, Vx196xD grids, VxHxW depth/sem).
+
+        Rows are stored in the CONSUMER dtype (``self.dtype``): the cold-path
+        profile shows per-key f16->f32 converts dominating cold build_batch
+        (fast_cast ~0.36s of a 0.72s 3-batch pass), so casting once at pack
+        time makes every pack read a pure mmap slice + memcpy. A reader with
+        a different dtype still works — ``get`` casts whatever the pack
+        holds. Returns None (no sidecar) for big-row stores, where packing
+        is a measured loss (PACK_MAX_ROW_BYTES note)."""
         import json
 
         f = self._handle()
         keys = sorted(f.keys())
         first = f[keys[0]]
+        row_bytes = int(np.prod(first.shape)) * np.dtype(self.dtype).itemsize
+        if row_bytes > self.PACK_MAX_ROW_BYTES:
+            return None
         arr_p, meta_p = self.pack_paths
         out = np.lib.format.open_memmap(
-            arr_p, mode="w+", dtype=first.dtype,
+            arr_p, mode="w+", dtype=np.dtype(self.dtype),
             shape=(len(keys),) + first.shape,
         )
         for i, k in enumerate(keys):
-            out[i] = f[k][...]
+            out[i] = fast_cast(f[k][...], np.dtype(self.dtype))
         out.flush()
         del out
         with open(meta_p, "w") as fh:
@@ -246,8 +265,12 @@ def write_synthetic_features(
         for f in files.values():
             f.close()
     if pack:
+        # packs carry the TRAINING-consumer dtype per store (pathdata reads:
+        # views/depth f32, grids f16, sem uint8) so pack reads never cast
+        consumer_dtype = {"img_ft": np.float32, "rgb": np.float16,
+                          "depth": np.float32, "sem": np.uint8}
         for k, p in paths.items():
-            db = H5FeatureDB(p)
+            db = H5FeatureDB(p, dtype=consumer_dtype[k])
             db.build_pack()
             db.close()
     return paths

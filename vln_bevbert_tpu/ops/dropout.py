@@ -245,6 +245,15 @@ def fused_dropout(x: jax.Array, rate: float, rng: jax.Array,
         return x
     if not _use_kernel(site) or x.ndim < 2:
         keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+        if os.environ.get("VLN_BEVBERT_MULT_MASK", "0") == "1":
+            # Multiply-by-cast-mask formulation: AD's residual is the x-dtype
+            # mask (bf16: 2 B/elem, already in the consumer's layout) instead
+            # of the where-path's saved predicate/bits, targeting the
+            # u32[B,H,441,441] relayout-copy family in TRACE_SUMMARY.md from
+            # a third angle (pallas kernel and remat both measured no-win).
+            # Identical distribution; same mask stream (same bernoulli draw).
+            scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+            return x * (keep.astype(x.dtype) * scale)
         return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
     seeds = jax.random.bits(rng, (x.shape[0],), jnp.uint32)
     return _dropout_sr(x, seeds, float(rate))

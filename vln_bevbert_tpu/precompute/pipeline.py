@@ -249,8 +249,13 @@ def build_feature_files(source, encoder, out_dir: str,
     if pack:
         from ..data.feature_db import H5FeatureDB
 
+        # consumer dtypes match the training readers (data/pathdata.py):
+        # pack reads then never cast. Big-row stores (grids) are skipped by
+        # build_pack itself (PACK_MAX_ROW_BYTES).
+        consumer_dtype = {"img_ft": np.float32, "rgb": np.float16,
+                          "depth": np.float32, "sem": np.uint8}
         for k in ("img_ft", "rgb", "depth", "sem"):
-            db = H5FeatureDB(paths[k])
+            db = H5FeatureDB(paths[k], dtype=consumer_dtype[k])
             db.build_pack()
             db.close()
     return paths
