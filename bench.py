@@ -32,7 +32,9 @@ after the pretrain measurement succeeds, BEFORE the secondary ft/loader/e2e
 phases. A wall-clock budget (BENCH_BUDGET_S, default 2400 s) gates each
 secondary phase — phases that would start past the budget are skipped with
 a logged reason. On full completion a second, enriched JSON line (same
-headline fields plus the secondary metrics) is printed last. Either parse
+headline fields plus the secondary metrics, including a B=64
+production-batch MFU probe — see _measure_pretrain/BENCH_SKIP_B64) is
+printed last. Either parse
 discipline works: a driver taking the LAST valid JSON line gets the
 enriched record (or, if killed mid-phase, the already-flushed headline); a
 driver taking the FIRST gets the headline.
@@ -467,6 +469,25 @@ def main():
             _log(f"e2e bench skipped after errors: "
                  f"{type(e).__name__}: {str(e).splitlines()[0][:200]}")
 
+    # production-batch probe: the same step at B=64 (the measured throughput
+    # config — ROADMAP knob table: batch is the lever that pays by fattening
+    # the matmul row dimension; the headline stays at the reference's B=16
+    # for training-dynamics parity). Runs LAST so it can never starve the
+    # established ft/loader/e2e series; skipped past budget, with
+    # BENCH_SKIP_B64=1, or when a knob probe already pins BENCH_BATCH.
+    pre64 = None
+    if (os.environ.get("BENCH_SKIP_B64") != "1"
+            and not os.environ.get("BENCH_BATCH")
+            and not over_budget("b64")):
+        try:
+            os.environ["BENCH_BATCH"] = "64"
+            pre64 = _with_retry("pretrain_b64", _measure_pretrain, attempts=2)
+        except Exception as e:  # secondary metric: never sink the artifact
+            _log(f"b64 bench skipped after errors: "
+                 f"{type(e).__name__}: {str(e).splitlines()[0][:200]}")
+        finally:
+            os.environ.pop("BENCH_BATCH", None)
+
     print(
         json.dumps(
             {
@@ -525,6 +546,22 @@ def main():
                                     "tunnelled dev backend case)",
                     }
                     if e2e is not None else {}
+                ),
+                **(
+                    {
+                        "b64_samples_per_sec_per_chip": round(
+                            pre64["samples_per_sec"], 2
+                        ),
+                        "b64_mfu": round(
+                            pre64["samples_per_sec"]
+                            * pre64["flops_per_sample"] / V5E_BF16_PEAK, 4
+                        ),
+                        "b64_note": "same step at per-chip batch 64 (the "
+                                    "production throughput config; headline "
+                                    "stays at the reference's B=16 for "
+                                    "training-dynamics parity)",
+                    }
+                    if pre64 is not None else {}
                 ),
                 **(
                     {"per_step_dispatch_samples_per_sec": round(pre["per_step_dispatch"], 2)}

@@ -49,6 +49,8 @@ CONFIGS = {
     "fusedadamw": {"BENCH_FUSED_ADAMW": "1"},
     "b64fusedadamw": {"BENCH_BATCH": "64", "BENCH_FUSED_ADAMW": "1"},
     "multmask": {"VLN_BEVBERT_MULT_MASK": "1"},
+    "boolmask": {"VLN_BEVBERT_BOOL_MASK": "1"},
+    "b64boolmask": {"BENCH_BATCH": "64", "VLN_BEVBERT_BOOL_MASK": "1"},
     "multmaskfusedadamw": {"VLN_BEVBERT_MULT_MASK": "1",
                            "BENCH_FUSED_ADAMW": "1"},
 }
@@ -81,6 +83,7 @@ def main():
         env.update(CONFIGS[name])
         env["BENCH_SKIP_FT"] = "1"
         env["BENCH_SKIP_LOADER"] = "1"  # also skips the e2e system bench
+        env["BENCH_SKIP_B64"] = "1"  # knob probes measure ONE config each
 
         print(f"=== {name}: {CONFIGS[name]}", flush=True)
         try:

@@ -56,6 +56,28 @@ def test_mult_mask_matches_where_path(monkeypatch):
     np.testing.assert_array_equal(dx != 0, y != 0)
 
 
+def test_bool_mask_bitwise_identical(monkeypatch):
+    """VLN_BEVBERT_BOOL_MASK=1 only inserts an optimization_barrier on the
+    keep predicate (an XLA layout/fusion constraint): outputs and grads must
+    be BITWISE identical to the default path, jitted and eager."""
+    x = jax.random.normal(jax.random.key(6), (32, 512))
+    key = jax.random.key(7)
+
+    def f(x):
+        return jnp.sum(fused_dropout(x, 0.3, key) ** 2)
+
+    # jit-vs-jit comparison (eager vs jit may differ in fusion/FMA); the env
+    # var is read at trace time, so trace fresh lambdas under each setting
+    ref = np.asarray(jax.jit(lambda x: fused_dropout(x, 0.3, key))(x))
+    dref = np.asarray(jax.jit(jax.grad(lambda x: f(x)))(x))
+    monkeypatch.setenv("VLN_BEVBERT_BOOL_MASK", "1")
+    got = np.asarray(jax.jit(lambda x: fused_dropout(x, 0.3, key))(x))
+    np.testing.assert_array_equal(got != 0, ref != 0)
+    np.testing.assert_allclose(got, ref, rtol=2e-7)
+    dgot = np.asarray(jax.jit(jax.grad(lambda x: f(x)))(x))
+    np.testing.assert_allclose(dgot, dref, rtol=2e-7)
+
+
 def test_module_contract():
     import flax.linen as nn
 

@@ -245,6 +245,16 @@ def fused_dropout(x: jax.Array, rate: float, rng: jax.Array,
         return x
     if not _use_kernel(site) or x.ndim < 2:
         keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+        if os.environ.get("VLN_BEVBERT_BOOL_MASK", "0") == "1":
+            # Pin the 1-byte keep predicate as the tensor XLA materializes:
+            # without the barrier, layout assignment keeps the 4-byte RBG
+            # bits live (fusing the compare into each consumer) and pays the
+            # u32[B,H,441,441] relayout copies TRACE_SUMMARY.md blames for
+            # ~11% of the step; behind the barrier both the fwd select and
+            # the AD residual read the bool, so any relayout moves 1/4 the
+            # bytes. Output is bitwise identical to the default path (same
+            # bernoulli draw, same select) — the barrier only constrains XLA.
+            keep = jax.lax.optimization_barrier(keep)
         if os.environ.get("VLN_BEVBERT_MULT_MASK", "0") == "1":
             # Multiply-by-cast-mask formulation: AD's residual is the x-dtype
             # mask (bf16: 2 B/elem, already in the consumer's layout) instead
